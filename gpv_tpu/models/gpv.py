@@ -1,0 +1,252 @@
+"""GPV-1 top-level model: image + query -> boxes, relevance, answer text.
+
+Behavior spec: reference `exp/gpv/models/gpv.py` `GPV` —
+  DETR(+RoI) visual stream -> detr_joiner Linear 2304->768;
+  frozen BERT text stream -> bert_joiner Linear 768->768;
+  3x co-attention fusion layers (text stream <-> vision-query stream);
+  relevance head Linear 768->2 ADDED to the DETR class logits (gpv.py:161-168);
+  relevance conditioning: softmax-weighted blend of 2 learned tokens added
+  back to the fused vision states (gpv.py:364-375);
+  text decoder over memory = concat(vision states, text states) with the
+  fixed-vocab-embedding answer head (answer_head.py:8-33).
+
+TPU design decisions:
+- single (B, T, D) batch-first layout; the decoder-layer axis L of the
+  reference is dropped (default config is last_layer_only=True, aux_loss=False
+  -> L=1 everywhere; aux relevance logits are still produced for the
+  localization aux losses when enabled).
+- BERT is frozen via `stop_gradient` + optimizer masking (XLA keeps one static
+  graph; no torch-style `no_grad` regions).
+- the sampling decode paths live in `gpv_tpu.decode` and drive the
+  `precompute_text_memory` / `text_step` methods with a KV cache under
+  `lax.scan` — unlike the reference, the prefix is never re-encoded.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.bert import BertEncoder
+from ..nn.coattention import CoAttentionLayer
+from ..nn.text_decoder import TextDecoder
+from ..ops.posenc import sine_position_encoding_1d
+from .detr import DETR, detr_from_config
+
+
+class GPV(nn.Module):
+    """Flagship model. Construct via `build_gpv(cfg)` for config parity."""
+    vocab_size: int
+    hidden_dim: int = 768
+    max_text_len: int = 20
+    max_pos_enc_len: int = 30
+    text_pos_enc: bool = False
+    relevance_conditioning: bool = True
+    answer_head: Optional[str] = None  # None = vocab-embed classifier, 'linear'
+    co_att_num_layers: int = 3
+    co_att_heads: int = 16
+    co_att_intermediate: int = 3072
+    dropout: float = 0.1
+    text_decoder_layers: int = 3
+    text_decoder_heads: int = 8
+    detr_cfg: Dict[str, Any] = None
+    roi_head: bool = True
+    bert_layers: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        detr_kwargs = dict(self.detr_cfg or {})
+        self.detr = DETR(roi_head=self.roi_head, dtype=self.dtype,
+                         **detr_kwargs)
+        detr_out = 2048 + detr_kwargs.get("hidden_dim", 256) if self.roi_head \
+            else detr_kwargs.get("hidden_dim", 256)
+        self.detr_joiner = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        self.bert = BertEncoder(num_layers=self.bert_layers, dtype=self.dtype)
+        self.bert_joiner = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        self.co_att = [
+            CoAttentionLayer(self.hidden_dim, self.co_att_heads,
+                             self.co_att_intermediate, self.dropout,
+                             self.dtype, name=f"co_att{i}")
+            for i in range(self.co_att_num_layers)]
+        num_classes = detr_kwargs.get("num_classes", 1)
+        self.relevance_predictor = nn.Dense(num_classes + 1, dtype=self.dtype)
+        self.text_decoder = TextDecoder(
+            dim=self.hidden_dim, num_heads=self.text_decoder_heads,
+            num_layers=self.text_decoder_layers, dropout=self.dropout,
+            dtype=self.dtype)
+        # answer machinery: fixed vocab embedding + learned transforms
+        self.vocab_embed = self.param(
+            "vocab_embed",
+            lambda key, shape: 0.1 * jax.random.normal(key, shape),
+            (self.vocab_size, self.hidden_dim))
+        if self.answer_head == "linear":
+            self.classifier = nn.Dense(self.vocab_size, dtype=self.dtype)
+        else:
+            self.classifier_transform = nn.Dense(self.hidden_dim,
+                                                 dtype=self.dtype)
+        self.answer_input_transform = nn.Dense(self.hidden_dim,
+                                               dtype=self.dtype)
+        # indicator/conditioning tokens (vision/lang tokens kept for ckpt
+        # parity with the reference even though its forward never uses them)
+        init01 = lambda key, shape: 0.1 * jax.random.normal(key, shape)
+        self.vision_token = self.param("vision_token", init01,
+                                       (self.hidden_dim,))
+        self.lang_token = self.param("lang_token", init01, (self.hidden_dim,))
+        self.relevance_tokens = self.param("relevance_tokens", init01,
+                                           (2, self.hidden_dim))
+        self.pos_enc_table = sine_position_encoding_1d(
+            self.hidden_dim, self.max_pos_enc_len)
+
+    # ---------------- encoding ----------------
+
+    def encode(self, images, query_ids, image_valid=None, query_valid=None,
+               train: bool = False):
+        """Run both streams + fusion.
+
+        Returns (memory (B,Tm,D), mem_valid (B,Tm) or None, outputs dict).
+        """
+        outputs = dict(self.detr(images, image_valid, train=train))
+        detr_hs = self.detr_joiner(outputs.pop("detr_hs"))  # (L,B,Q,768)
+        vl_hs = detr_hs[-1]  # (B, Q, 768)
+
+        # frozen BERT (reference: no_grad + detach, gpv.py:142-145)
+        query_enc = self.bert(query_ids, valid=query_valid,
+                              deterministic=True)
+        query_enc = jax.lax.stop_gradient(query_enc)
+        lv_hs = self.bert_joiner(query_enc)  # (B, Tl, 768)
+
+        for layer in self.co_att:
+            lv_hs, vl_hs = layer(lv_hs, vl_hs, valid1=query_valid,
+                                 valid2=None, deterministic=not train)
+
+        relevance_logits = self.relevance_predictor(vl_hs)  # (B,Q,K+1)
+        outputs["pred_relevance_logits"] = (
+            outputs["pred_relevance_logits"] + relevance_logits)
+        if "aux_pred_relevance_logits" in outputs:
+            outputs["aux_pred_relevance_logits"] = (
+                outputs["aux_pred_relevance_logits"] + relevance_logits[None])
+
+        vl_hs = self.condition_on_relevance(
+            outputs["pred_relevance_logits"], vl_hs)
+
+        memory = jnp.concatenate([vl_hs, lv_hs], axis=1)  # (B, Q+Tl, D)
+        if query_valid is not None:
+            B, Q = vl_hs.shape[:2]
+            mem_valid = jnp.concatenate(
+                [jnp.ones((B, Q), bool), query_valid], axis=1)
+        else:
+            mem_valid = None
+        return memory, mem_valid, outputs
+
+    def condition_on_relevance(self, relevance_logits, fused_hs):
+        if not self.relevance_conditioning:
+            return fused_hs
+        prob = jax.nn.softmax(relevance_logits, axis=-1)  # (B,Q,2)
+        tok = jnp.einsum("bqk,kd->bqd", prob,
+                         self.relevance_tokens.astype(prob.dtype))
+        return fused_hs + tok.astype(fused_hs.dtype)
+
+    # ---------------- answer text machinery ----------------
+
+    def embed_answer_tokens(self, token_ids):
+        """(..., S) ids -> (..., S, D): frozen vocab embed + learned Linear."""
+        emb = jnp.take(jax.lax.stop_gradient(self.vocab_embed), token_ids,
+                       axis=0).astype(self.dtype)
+        return self.answer_input_transform(emb)
+
+    def answer_logits_head(self, h):
+        """(..., D) decoder states -> (..., V) vocab logits."""
+        if self.answer_head == "linear":
+            return self.classifier(h)
+        w = self.classifier_transform(
+            jax.lax.stop_gradient(self.vocab_embed).astype(self.dtype))
+        return jnp.einsum("...d,vd->...v", h, w,
+                          preferred_element_type=jnp.float32)
+
+    def decode_text(self, target_embed, memory, mem_valid=None,
+                    train: bool = False):
+        """Teacher-forced causal decode: (B,S,D) -> (B,S,V)."""
+        if self.text_pos_enc:
+            S = target_embed.shape[1]
+            target_embed = target_embed + self.pos_enc_table[None, :S].astype(
+                target_embed.dtype)
+        h = self.text_decoder(target_embed, memory, mem_valid,
+                              deterministic=not train)
+        return self.answer_logits_head(h)
+
+    # ---------------- full forward (teacher-forced training path) ----------
+
+    def __call__(self, images, query_ids, answer_ids=None, image_valid=None,
+                 query_valid=None, train: bool = False):
+        """Returns the reference `outputs` dict.
+
+        With `answer_ids` (B,S): `answer_logits` is (B,S-1,V) — logits for
+        positions 1..S-1 (teacher forced), matching the reference's
+        `decode_text(...)[:,:,:-1]` slice (gpv.py:201).
+        """
+        memory, mem_valid, outputs = self.encode(
+            images, query_ids, image_valid, query_valid, train)
+        if answer_ids is not None:
+            target = self.embed_answer_tokens(answer_ids)
+            logits = self.decode_text(target, memory, mem_valid, train)
+            outputs["answer_logits"] = logits[:, :-1]
+        outputs["memory"] = memory
+        if mem_valid is not None:
+            outputs["memory_valid"] = mem_valid
+        return outputs
+
+    # ---------------- incremental decode hooks (driven by gpv_tpu.decode) ---
+
+    def precompute_text_memory(self, memory):
+        return self.text_decoder.precompute_memory(memory)
+
+    def text_step(self, token_t, mem_kvs, mem_valid, caches, t):
+        """One decode step: (B,) token ids at position t -> (B,V) logits.
+
+        Returns (logits, new_caches).
+        """
+        x_t = self.embed_answer_tokens(token_t[:, None])  # (B,1,D)
+        if self.text_pos_enc:
+            x_t = x_t + jax.lax.dynamic_slice_in_dim(
+                self.pos_enc_table, t, 1, axis=0)[None].astype(x_t.dtype)
+        y, caches = self.text_decoder.step(x_t, mem_kvs, mem_valid, caches, t)
+        return self.answer_logits_head(y[:, 0]), caches
+
+    def init_text_cache(self, batch: int):
+        return self.text_decoder.init_cache(batch, self.max_text_len)
+
+
+def build_gpv(cfg, vocab_size: int, dtype=jnp.float32) -> GPV:
+    """Build from the `model` config node (configs/exp/gpv.yaml schema)."""
+    detr_cfg = dict(
+        num_queries=cfg.detr.num_queries,
+        num_classes=cfg.detr.num_classes,
+        hidden_dim=cfg.detr.hidden_dim,
+        nheads=cfg.detr.nheads,
+        num_encoder_layers=cfg.detr.num_encoder_layers,
+        num_decoder_layers=cfg.detr.num_decoder_layers,
+        dim_feedforward=cfg.detr.dim_feedforward,
+        dropout=cfg.detr.dropout,
+        dilation=cfg.detr.dilation,
+        last_layer_only=cfg.detr.last_layer_only,
+        aux_loss=cfg.detr.aux_loss,
+    )
+    return GPV(
+        vocab_size=vocab_size,
+        hidden_dim=cfg.hidden_dim,
+        max_text_len=cfg.max_text_len,
+        max_pos_enc_len=cfg.max_pos_enc_len,
+        text_pos_enc=cfg.text_decoder.pos_enc,
+        relevance_conditioning=cfg.relevance_conditioning,
+        answer_head=cfg.answer_head,
+        co_att_num_layers=cfg.co_att.num_layers,
+        co_att_heads=cfg.co_att.bi_num_attention_heads,
+        co_att_intermediate=cfg.co_att.intermediate_size,
+        dropout=cfg.detr.dropout,
+        text_decoder_layers=cfg.text_decoder.num_layers,
+        text_decoder_heads=cfg.text_decoder.nheads,
+        detr_cfg=detr_cfg,
+        roi_head=cfg.roi_head,
+        dtype=dtype)

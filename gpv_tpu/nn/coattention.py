@@ -1,0 +1,99 @@
+"""ViLBERT-style bi-directional co-attention fusion.
+
+Behavior spec: reference `exp/gpv/models/vilbert.py` `BertConnectionLayer`
+(:859) = `BertBiAttention` (:696, 16 heads over 768-d: stream A queries attend
+stream B keys/values and vice versa, two independent softmax attentions) +
+`BertBiOutput` (:827, per-stream dense + residual + LayerNorm eps 1e-12) +
+per-stream GELU FFN (3072). GPV stacks 3 of these with
+`input_tensor1 = text (lv)`, `input_tensor2 = vision queries (vl)`
+(`gpv.py:147-154`) and no attention masks; we support optional validity masks
+for padded batches.
+
+Naming note: the reference routes stream1 through the "v_*" FFN weights and
+stream2 through the "t_*" ones (an upstream quirk — both are 768/3072 so the
+math is symmetric). Here streams are named plainly: stream1/stream2 with
+`ffn1`/`ffn2`.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+LN_EPS = 1e-12
+
+
+class BiAttention(nn.Module):
+    """Cross-stream attention: returns (ctx1, ctx2).
+
+    ctx1 = softmax(Q2 K1^T) V1  (stream2 reading stream1)
+    ctx2 = softmax(Q1 K2^T) V2  (stream1 reading stream2)
+    """
+    dim: int = 768
+    num_heads: int = 16
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, valid1=None, valid2=None, deterministic=True):
+        H = self.num_heads
+        Dh = self.dim // H
+
+        def qkv(name, x):
+            y = nn.Dense(self.dim, dtype=self.dtype, name=name)(x)
+            return y.reshape(*x.shape[:-1], H, Dh)
+
+        q1, k1, v1 = (qkv(f"{n}1", x1) for n in ("query", "key", "value"))
+        q2, k2, v2 = (qkv(f"{n}2", x2) for n in ("query", "key", "value"))
+        scale = jnp.asarray(1.0 / Dh ** 0.5, self.dtype)
+
+        def attend(q, k, v, valid, name):
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                                preferred_element_type=jnp.float32)
+            if valid is not None:
+                logits = jnp.where(valid[:, None, None, :], logits, -1e9)
+            p = nn.softmax(logits, axis=-1).astype(self.dtype)
+            p = nn.Dropout(self.dropout, deterministic=deterministic,
+                           name=name)(p)
+            out = jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                             preferred_element_type=jnp.float32)
+            return out.reshape(*out.shape[:-2], self.dim).astype(self.dtype)
+
+        ctx1 = attend(q2, k1, v1, valid1, "drop1")  # (B, T2, D)
+        ctx2 = attend(q1, k2, v2, valid2, "drop2")  # (B, T1, D)
+        return ctx1, ctx2
+
+
+class CoAttentionLayer(nn.Module):
+    """One fusion block: bi-attention + per-stream residual/LN + GELU FFN."""
+    dim: int = 768
+    num_heads: int = 16
+    intermediate: int = 3072
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, valid1=None, valid2=None, deterministic=True):
+        ctx1, ctx2 = BiAttention(self.dim, self.num_heads, self.dropout,
+                                 self.dtype, name="biattention")(
+            x1, x2, valid1, valid2, deterministic)
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        # stream1 absorbs what it read from stream2 (ctx2) and vice versa
+        a1 = nn.Dense(self.dim, dtype=self.dtype, name="dense1")(ctx2)
+        a1 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                          name="attn_norm1")(x1 + drop(a1))
+        a2 = nn.Dense(self.dim, dtype=self.dtype, name="dense2")(ctx1)
+        a2 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                          name="attn_norm2")(x2 + drop(a2))
+
+        def ffn(x, tag):
+            h = nn.Dense(self.intermediate, dtype=self.dtype,
+                         name=f"ffn_in{tag}")(x)
+            h = nn.gelu(h, approximate=False)
+            h = drop(nn.Dense(self.dim, dtype=self.dtype,
+                              name=f"ffn_out{tag}")(h))
+            return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                                name=f"ffn_norm{tag}")(x + h)
+
+        return ffn(a1, "1"), ffn(a2, "2")

@@ -1,0 +1,110 @@
+"""DETR encoder-decoder transformer (post-norm, pos-embeds injected per layer).
+
+Behavior spec: reference `exp/gpv/models/transformer.py` — 6+6 layers, d=256,
+8 heads, FFN 2048, ReLU, positional encodings ADDED TO Q/K at every layer
+(not to the input), decoder runs 100 learned queries from a zero target and
+returns the per-layer intermediate states, each passed through the shared
+final LayerNorm. Batch-first (B, T, D) layout throughout (the reference's
+(T, B, D) permutes are a torch MHA artifact with no TPU benefit).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import MultiHeadAttention
+
+
+class EncoderLayer(nn.Module):
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, key_valid=None, deterministic=True):
+        q = k = src + pos
+        attn = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                  self.dtype, name="self_attn")(
+            q, k, src, key_valid=key_valid, deterministic=deterministic)
+        src = src + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        ff = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(src)
+        ff = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(ff))
+        ff = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(ff)
+        src = src + nn.Dropout(self.dropout, deterministic=deterministic)(ff)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+
+
+class DecoderLayer(nn.Module):
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, query_pos, mem_pos, mem_valid=None,
+                 deterministic=True):
+        q = k = tgt + query_pos
+        sa = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                self.dtype, name="self_attn")(
+            q, k, tgt, deterministic=deterministic)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(sa)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        ca = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                self.dtype, name="cross_attn")(
+            tgt + query_pos, memory + mem_pos, memory,
+            key_valid=mem_valid, deterministic=deterministic)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(ca)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+        ff = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
+        ff = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(ff))
+        ff = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(ff)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(ff)
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+
+
+class DetrTransformer(nn.Module):
+    """Full DETR transformer: (B, HW, D) features -> (L, B, Q, D) query states."""
+    dim: int = 256
+    num_heads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    ffn_dim: int = 2048
+    dropout: float = 0.1
+    return_intermediate: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, query_embed, key_valid=None,
+                 deterministic=True):
+        """src/pos: (B, HW, D); query_embed: (Q, D); key_valid: (B, HW) bool."""
+        B = src.shape[0]
+        memory = src
+        for i in range(self.num_encoder_layers):
+            memory = EncoderLayer(self.dim, self.num_heads, self.ffn_dim,
+                                  self.dropout, self.dtype,
+                                  name=f"encoder_layer{i}")(
+                memory, pos, key_valid, deterministic)
+
+        query_pos = jnp.broadcast_to(query_embed[None].astype(self.dtype),
+                                     (B, *query_embed.shape))
+        tgt = jnp.zeros_like(query_pos)
+        final_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        intermediate = []
+        for i in range(self.num_decoder_layers):
+            tgt = DecoderLayer(self.dim, self.num_heads, self.ffn_dim,
+                               self.dropout, self.dtype,
+                               name=f"decoder_layer{i}")(
+                tgt, memory, query_pos, pos, key_valid, deterministic)
+            if self.return_intermediate:
+                intermediate.append(final_norm(tgt))
+        if self.return_intermediate:
+            hs = jnp.stack(intermediate, axis=0)  # (L, B, Q, D)
+        else:
+            hs = final_norm(tgt)[None]
+        return hs, memory

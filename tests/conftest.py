@@ -1,0 +1,14 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax imports.
+
+This is the TPU-world substitute for multi-node testing (SURVEY.md §4):
+sharding/pjit paths are validated on a fake 8-device mesh.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+# Determinism + speed for tests
+os.environ.setdefault("JAX_ENABLE_X64", "0")
