@@ -1,0 +1,86 @@
+"""Headline benchmark: batched GPV inference throughput on TPU.
+
+Measures the full reference eval workload (`exp/gpv/compute_predictions.py`
+hot loop): encode (ResNet-50 + DETR + BERT + co-attention + relevance) and
+greedy-decode `max_text_len`=20 answer tokens for a batch of 480x640 images,
+reporting images/sec.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). The
+`vs_baseline` denominator is the estimated PyTorch eval throughput of the
+reference implementation (batch 20 on a 24GB GPU with full-prefix re-decoding
+every step); see BASELINE.md "measured baselines" for derivation/updates.
+
+Prints exactly one JSON line.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Estimated reference images/sec (PyTorch, 1x24GB GPU, eval batch 20).
+PYTORCH_BASELINE_IMG_PER_SEC = 12.0
+
+BATCH = 20          # reference eval batch size (configs/exp/gpv.yaml:157)
+H, W = 480, 640     # reference fixed input size
+VOCAB = 10000
+MAX_TEXT_LEN = 20
+N_ITERS = 10
+
+
+def main():
+    from gpv_tpu.decode import greedy_decode
+    from gpv_tpu.models.gpv import GPV
+
+    detr_cfg = dict(num_queries=100, num_classes=1, hidden_dim=256, nheads=8,
+                    num_encoder_layers=6, num_decoder_layers=6,
+                    dim_feedforward=2048, dropout=0.1)
+    model = GPV(vocab_size=VOCAB, max_text_len=MAX_TEXT_LEN,
+                detr_cfg=detr_cfg, dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (BATCH, H, W, 3), jnp.float32)
+    query_ids = jax.random.randint(rng, (BATCH, 12), 0, 30522)
+    query_valid = jnp.ones((BATCH, 12), bool)
+    answer_ids = jnp.zeros((BATCH, MAX_TEXT_LEN), jnp.int32)
+
+    variables = model.init(rng, images, query_ids, answer_ids, train=False)
+
+    cls_id = VOCAB - 3
+
+    @jax.jit
+    def infer(variables, images, query_ids, query_valid):
+        memory, mem_valid, outputs = model.apply(
+            variables, images, query_ids, image_valid=None,
+            query_valid=query_valid, method=GPV.encode)
+        tokens, _ = greedy_decode(model, variables, memory, mem_valid, cls_id)
+        # sort boxes by relevance (reference compute_predictions.py:60-66)
+        rel = jax.nn.softmax(outputs["pred_relevance_logits"], -1)[..., 0]
+        order = jnp.argsort(-rel, axis=-1)
+        boxes = jnp.take_along_axis(outputs["pred_boxes"], order[..., None],
+                                    axis=1)
+        return tokens, boxes, jnp.take_along_axis(rel, order, axis=1)
+
+    # compile + warmup
+    out = infer(variables, images, query_ids, query_valid)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        out = infer(variables, images, query_ids, query_valid)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = BATCH * N_ITERS / dt
+    print(json.dumps({
+        "metric": "batched_inference_images_per_sec",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / PYTORCH_BASELINE_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Batched greedy text decoding with a KV cache under `lax.scan`.
+
+Behavior spec: reference greedy loop (`exp/gpv/models/gpv.py:178-196`): start
+from `__cls__`, take top-1 each step, optional additive vocab mask, for
+`max_text_len - 1` steps. The reference re-runs the full decoder on the whole
+prefix every step (O(T^2) decoder work); with causal masking that is
+mathematically identical to incremental decoding, so here each step is one
+KV-cached token through the 3 decoder layers inside a single scanned XLA loop
+— the core of the >=10x inference win.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gpv import GPV
+
+
+def init_cache(model: GPV, batch: int):
+    head_dim = model.hidden_dim // model.text_decoder_heads
+    shape = (batch, model.max_text_len, model.text_decoder_heads, head_dim)
+    z = jnp.zeros(shape, model.dtype)
+    return tuple((z, z) for _ in range(model.text_decoder_layers))
+
+
+def greedy_decode(model: GPV, variables, memory: jnp.ndarray,
+                  mem_valid: Optional[jnp.ndarray], cls_id: int,
+                  vocab_mask: Optional[jnp.ndarray] = None):
+    """Decode answers for a batch.
+
+    Args:
+      memory: (B, Tm, D) fused decode memory from `GPV.encode`.
+      vocab_mask: optional (V,) additive mask (0 allowed / -10000 banned).
+
+    Returns:
+      token_ids: (B, T-1) generated ids for positions 1..T-1.
+      logits: (B, T-1, V) the logits that produced them (vocab mask applied).
+    """
+    B = memory.shape[0]
+    mem_kvs = model.apply(variables, memory,
+                          method=GPV.precompute_text_memory)
+    caches = init_cache(model, B)
+    tok0 = jnp.full((B,), cls_id, jnp.int32)
+
+    def step(carry, t):
+        caches, tok = carry
+        logits, caches = model.apply(variables, tok, mem_kvs, mem_valid,
+                                     caches, t, method=GPV.text_step)
+        if vocab_mask is not None:
+            logits = logits + vocab_mask
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (caches, nxt), (nxt, logits)
+
+    (_, _), (tokens, logits) = jax.lax.scan(
+        step, (caches, tok0), jnp.arange(model.max_text_len - 1))
+    return jnp.transpose(tokens, (1, 0)), jnp.transpose(logits, (1, 0, 2))

@@ -54,6 +54,9 @@ class GPV(nn.Module):
     detr_cfg: Dict[str, Any] = None
     roi_head: bool = True
     bert_layers: int = 12
+    bert_hidden: int = 768
+    bert_heads: int = 12
+    bert_vocab_size: int = 30522
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -63,7 +66,12 @@ class GPV(nn.Module):
         detr_out = 2048 + detr_kwargs.get("hidden_dim", 256) if self.roi_head \
             else detr_kwargs.get("hidden_dim", 256)
         self.detr_joiner = nn.Dense(self.hidden_dim, dtype=self.dtype)
-        self.bert = BertEncoder(num_layers=self.bert_layers, dtype=self.dtype)
+        self.bert = BertEncoder(num_layers=self.bert_layers,
+                                hidden=self.bert_hidden,
+                                heads=self.bert_heads,
+                                intermediate=4 * self.bert_hidden,
+                                vocab_size=self.bert_vocab_size,
+                                dtype=self.dtype)
         self.bert_joiner = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.co_att = [
             CoAttentionLayer(self.hidden_dim, self.co_att_heads,

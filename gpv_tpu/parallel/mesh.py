@@ -1,0 +1,50 @@
+"""Device mesh + sharding helpers (the TPU replacement for DDP/NCCL).
+
+Behavior spec: reference distributed layer (SURVEY.md §2.7) is single-node
+multi-process DDP with NCCL all-reduce (`exp/gpv/train_distr.py:170-203`).
+TPU-native design: one process drives a `jax.sharding.Mesh`; the train step is
+jitted with the batch sharded over the `data` axis and the model replicated
+(a `model` axis is reserved for tensor parallelism on larger slices); XLA
+emits the gradient reductions over ICI — no hand-written collectives.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh. data=-1 means all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def mesh_from_config(tpu_cfg, devices=None) -> Mesh:
+    return make_mesh(int(tpu_cfg.mesh.data), int(tpu_cfg.mesh.model),
+                     devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch dict on device, sharded along axis 0."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,87 @@
+"""Jitted, mesh-sharded multitask train step.
+
+Behavior spec: reference hot loop (`exp/gpv/train_distr.py:399-471`):
+forward (teacher-forced) -> GPVCriterion -> backward -> clip detr grads 0.1 ->
+AdamW step, with DDP all-reducing grads. TPU-native: one `jax.jit` over the
+whole step with the batch sharded on the mesh `data` axis and state
+replicated; XLA inserts the gradient psum over ICI. Buffers are donated so
+params/opt state update in place in HBM. Matching runs ON DEVICE inside the
+step (see ops/matcher.py) — the reference's per-step scipy host sync is gone.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses.criterion import LossConfig, gpv_criterion
+from ..train.optimizer import clip_detr_grads
+from .mesh import batch_sharding, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(variables, optimizer) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(params))
+
+
+def make_train_step(model, optimizer, loss_cfg: LossConfig,
+                    clip_max_norm: float = 0.1,
+                    mesh=None, donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    batch dict fields (all static shapes, leading dim = global batch):
+      image (B,H,W,3) fp32 normalized; query_ids (B,Tq) + query_valid (B,Tq);
+      answer_ids (B,S); answer_lens (B,); task_id (B,); has_answer (B,);
+      boxes (B,M,4); box_labels (B,M); box_valid (B,M); has_boxes (B,).
+    """
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            outputs = model.apply(
+                variables, batch["image"], batch["query_ids"],
+                batch["answer_ids"], image_valid=batch.get("image_valid"),
+                query_valid=batch["query_valid"], train=True,
+                rngs={"dropout": rng})
+            total, losses = gpv_criterion(outputs, batch, loss_cfg)
+            return total, losses
+
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = clip_detr_grads(grads, clip_max_norm)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        return new_state, losses
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else ())

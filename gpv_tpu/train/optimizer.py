@@ -1,0 +1,120 @@
+"""Optimizer: 4-group AdamW + warmup-linear schedule (optax).
+
+Behavior spec: reference `exp/gpv/train_distr.py:228-253` — AdamW groups
+  detr_backbone (lr_backbone 1e-5) / detr_head (lr) / bert (lr, but grad-less
+  => never updated) / others (lr), weight_decay 1e-4;
+`WarmupLinearSchedule` per-iteration (`:293-305`): linear 0->1 over
+`warmup_fraction * total_steps` then linear 1->0 at total_steps (the epoch
+MultiStepLR is clobbered per-iteration by the LambdaLR-style warmup scheduler,
+so the effective schedule IS warmup-linear; the multistep path applies when
+lr_warmup/linear_decay are off). Gradient clipping (0.1) covers ONLY the
+detr_backbone+detr_head groups as one global norm (`:423-426`) and is
+implemented in the train step, not here.
+
+Frozen subtrees (TPU style — optimizer masking instead of requires_grad):
+  - `bert` (reference: no_grad+detach)
+  - `vocab_embed` (reference: nn.Parameter(requires_grad=False))
+  - all `detr` params when `training.freeze` (phase-1 frozen-DETR schedule)
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def param_group(path: tuple) -> str:
+    """Map a param path (tuple of keys) to its reference optimizer group."""
+    keys = [str(k) for k in path]
+    name = "/".join(keys)
+    if name.startswith("detr/backbone"):
+        return "detr_backbone"
+    if "detr" in keys[0]:  # detr/* and detr_joiner
+        return "detr_head"
+    if keys[0] == "bert":
+        return "frozen"
+    if keys[0] == "vocab_embed":
+        return "frozen"
+    return "others"
+
+
+def group_labels(params) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: param_group(tuple(k.key for k in p)), params)
+
+
+def warmup_linear_schedule(base_lr: float, total_steps: int,
+                           warmup_fraction: float) -> optax.Schedule:
+    warmup = max(int(warmup_fraction * total_steps), 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        w = step / warmup
+        d = jnp.maximum(
+            (total_steps - step) / jnp.maximum(total_steps - warmup, 1.0),
+            0.0)
+        return base_lr * jnp.where(step < warmup, w, d)
+
+    return schedule
+
+
+def multistep_schedule(base_lr: float, milestones, gamma: float,
+                       steps_per_epoch: int) -> optax.Schedule:
+    bounds = {int(m) * steps_per_epoch: gamma for m in milestones}
+    return optax.piecewise_constant_schedule(base_lr, bounds)
+
+
+def build_optimizer(training_cfg, steps_per_epoch: int,
+                    params) -> optax.GradientTransformation:
+    """Build the full 4-group optimizer from the `training` config node."""
+    total_steps = steps_per_epoch * int(training_cfg.num_epochs)
+    lr = float(training_cfg.lr)
+    lr_backbone = float(training_cfg.lr_backbone)
+    wd = float(training_cfg.weight_decay)
+
+    def make_sched(base):
+        if training_cfg.lr_warmup and training_cfg.lr_linear_decay:
+            return warmup_linear_schedule(
+                base, total_steps, float(training_cfg.lr_warmup_fraction))
+        return multistep_schedule(base, training_cfg.lr_milestones,
+                                  float(training_cfg.lr_drop),
+                                  steps_per_epoch)
+
+    def adamw(base):
+        return optax.adamw(make_sched(base), b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=wd)
+
+    frozen_detr = bool(training_cfg.get("freeze", False))
+    transforms = {
+        "detr_backbone": optax.set_to_zero() if frozen_detr
+        else adamw(lr_backbone),
+        "detr_head": optax.set_to_zero() if frozen_detr else adamw(lr),
+        "others": adamw(lr),
+        "frozen": optax.set_to_zero(),
+    }
+    labels = group_labels(params)
+    return optax.multi_transform(transforms, labels)
+
+
+def clip_detr_grads(grads, max_norm: float):
+    """Clip the detr subtree (backbone+head+joiner) by one joint global norm,
+    mirroring `clip_grad_norm_(detr_backbone + detr_head)` (reference
+    train_distr.py:423-426; torch uses a *true* clip: scale only if above)."""
+    if max_norm <= 0:
+        return grads
+
+    def is_detr(path):
+        return param_group(path) in ("detr_backbone", "detr_head")
+
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    sq = sum(jnp.sum(jnp.square(g)) for p, g in flat
+             if is_detr(tuple(k.key for k in p)))
+    norm = jnp.sqrt(sq)
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+
+    def apply(path, g):
+        return g * scale if is_detr(tuple(k.key for k in path)) else g
+
+    return jax.tree_util.tree_map_with_path(apply, grads)

@@ -5,10 +5,16 @@ sharding/pjit paths are validated on a fake 8-device mesh.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 # Determinism + speed for tests
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The container's sitecustomize force-registers the axon TPU backend and wins
+# over the env var; pin the config explicitly before any backend init.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,134 @@
+"""Distributed training tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpv_tpu.losses import LossConfig, TASK_IDS
+from gpv_tpu.parallel import (create_train_state, make_mesh, make_train_step,
+                              shard_batch)
+from gpv_tpu.train import build_optimizer, param_group, warmup_linear_schedule
+from gpv_tpu.utils.config import ConfigNode
+
+from test_model import tiny_gpv, VOCAB
+
+
+def make_batch(B=8, S=8, M=4, seed=0):
+    rng = np.random.RandomState(seed)
+    tasks = [["CocoCaptioning", "CocoVqa", "CocoClassification",
+              "CocoDetection"][i % 4] for i in range(B)]
+    return {
+        "image": rng.randn(B, 48, 64, 3).astype(np.float32),
+        "query_ids": rng.randint(0, 100, (B, 5)).astype(np.int32),
+        "query_valid": np.ones((B, 5), bool),
+        "answer_ids": rng.randint(0, VOCAB, (B, S)).astype(np.int32),
+        "answer_lens": np.full((B,), 5, np.int32),
+        "task_id": np.asarray([TASK_IDS[t] for t in tasks], np.int32),
+        "has_answer": np.asarray([t != "CocoDetection" for t in tasks]),
+        "boxes": rng.uniform(0.3, 0.6, (B, M, 4)).astype(np.float32),
+        "box_labels": np.zeros((B, M), np.int32),
+        "box_valid": np.tile([True, True, False, False], (B, 1)),
+        "has_boxes": np.asarray([t == "CocoDetection" for t in tasks]),
+    }
+
+
+def training_cfg(**kw):
+    cfg = ConfigNode({
+        "num_epochs": 2, "lr": 1e-3, "lr_backbone": 1e-4,
+        "weight_decay": 1e-4, "lr_milestones": [10], "lr_drop": 0.5,
+        "lr_warmup": True, "lr_linear_decay": True,
+        "lr_warmup_fraction": 0.1, "clip_max_norm": 0.1, "freeze": False,
+    })
+    cfg.update(kw)
+    return cfg
+
+
+class TestOptimizer:
+    def test_param_groups(self):
+        assert param_group(("detr", "backbone", "conv1", "kernel")) == "detr_backbone"
+        assert param_group(("detr", "transformer", "x")) == "detr_head"
+        assert param_group(("detr_joiner", "kernel")) == "detr_head"
+        assert param_group(("bert", "layer0", "x")) == "frozen"
+        assert param_group(("vocab_embed",)) == "frozen"
+        assert param_group(("co_att0", "dense1", "kernel")) == "others"
+
+    def test_warmup_linear(self):
+        s = warmup_linear_schedule(1.0, 100, 0.1)
+        assert abs(float(s(5)) - 0.5) < 1e-6
+        assert abs(float(s(10)) - 1.0) < 1e-6
+        assert abs(float(s(55)) - 0.5) < 1e-6
+        assert float(s(100)) == 0.0
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        mesh = make_mesh(data=8)
+        model = tiny_gpv()
+        batch = make_batch(B=8)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+            jnp.asarray(batch["query_ids"]),
+            jnp.asarray(batch["answer_ids"]), train=False)
+        optimizer = build_optimizer(training_cfg(), steps_per_epoch=10,
+                                    params=variables["params"])
+        state = create_train_state(variables, optimizer)
+        step = make_train_step(model, optimizer, LossConfig(), 0.1, mesh=mesh,
+                               donate=False)
+        return mesh, model, state, step, batch
+
+    def test_two_steps_loss_finite_and_params_move(self, setup):
+        mesh, model, state, step, batch = setup
+        sharded = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+        rng = jax.random.PRNGKey(42)
+        p0 = jax.tree.map(lambda x: np.asarray(x), state.params)
+        state1, losses1 = step(state, sharded, rng)
+        state2, losses2 = step(state1, sharded, rng)
+        for k, v in losses2.items():
+            assert np.isfinite(float(v)), k
+        assert int(state2.step) == 2
+        # trainable params moved
+        moved = np.abs(np.asarray(state2.params["detr_joiner"]["kernel"])
+                       - p0["detr_joiner"]["kernel"]).max()
+        assert moved > 0
+        # frozen groups untouched
+        np.testing.assert_array_equal(
+            np.asarray(state2.params["vocab_embed"]), p0["vocab_embed"])
+        b0 = p0["bert"]["embeddings"]["word_embeddings"]["embedding"]
+        np.testing.assert_array_equal(
+            np.asarray(state2.params["bert"]["embeddings"]
+                       ["word_embeddings"]["embedding"]), b0)
+
+    def test_loss_decreases_over_steps(self, setup):
+        mesh, model, state, step, batch = setup
+        sharded = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+        rng = jax.random.PRNGKey(0)
+        first = None
+        for i in range(8):
+            state, losses = step(state, sharded, rng)
+            if first is None:
+                first = float(losses["total_loss"])
+        assert float(losses["total_loss"]) < first
+
+    def test_frozen_detr_phase(self):
+        """training.freeze=True: detr params must not move."""
+        mesh = make_mesh(data=8)
+        model = tiny_gpv()
+        batch = make_batch(B=8)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+            jnp.asarray(batch["query_ids"]),
+            jnp.asarray(batch["answer_ids"]), train=False)
+        optimizer = build_optimizer(training_cfg(freeze=True),
+                                    steps_per_epoch=10,
+                                    params=variables["params"])
+        state = create_train_state(variables, optimizer)
+        step = make_train_step(model, optimizer, LossConfig(), 0.1,
+                               mesh=mesh, donate=False)
+        sharded = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+        p0 = jax.tree.map(np.asarray, state.params["detr"])
+        state, _ = step(state, sharded, jax.random.PRNGKey(1))
+        after = jax.tree.map(np.asarray, state.params["detr"])
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(after)):
+            np.testing.assert_array_equal(a, b)
