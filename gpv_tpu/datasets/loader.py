@@ -1,0 +1,153 @@
+"""Batch assembly + threaded prefetching loader (host side).
+
+Behavior spec: reference `detr_misc.collate_fn` (pad-to-max NestedTensor,
+:267-299) + the DataLoader(num_workers=30) host pipeline in
+`exp/gpv/train_distr.py:213-222`. TPU redesign: images are already fixed-size
+(480x640) so no ragged padding is needed; the collator emits the fully static
+batch dict the jitted train step consumes (tokenized queries, encoded answers,
+padded GT boxes with validity masks, per-sample task ids) and a worker pool
+overlaps decode/augment with device execution. Batches are dropped to a fixed
+size (`drop_last`) so one XLA executable serves the whole epoch.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..losses.criterion import TASK_IDS
+from ..text.vocab import AnswerVocab
+from ..text.wordpiece import WordPieceTokenizer
+
+
+class Collator:
+    def __init__(self, vocab: AnswerVocab, tokenizer: WordPieceTokenizer,
+                 max_text_len: int = 20, max_query_len: int = 20,
+                 max_target_boxes: int = 64,
+                 answering_type: str = "generation"):
+        self.vocab = vocab
+        self.tokenizer = tokenizer
+        self.max_text_len = max_text_len
+        self.max_query_len = max_query_len
+        self.max_target_boxes = max_target_boxes
+        self.answering_type = answering_type
+
+    def __call__(self, items: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+        B = len(items)
+        M = self.max_target_boxes
+        queries = [it["query"] for it in items]
+        query_ids, query_valid = self.tokenizer.batch_encode(
+            queries, self.max_query_len)
+
+        answers = [it.get("answer", "") for it in items]
+        answer_ids = self.vocab.encode_answers(
+            answers, self.max_text_len, self.answering_type)
+        # true length = position of first pad (cls..stop inclusive)
+        lens = (answer_ids != self.vocab.pad_id).sum(axis=1).astype(np.int32)
+
+        boxes = np.zeros((B, M, 4), np.float32)
+        box_valid = np.zeros((B, M), bool)
+        has_boxes = np.zeros((B,), bool)
+        for i, it in enumerate(items):
+            if "boxes" in it:
+                b = np.asarray(it["boxes"], np.float32).reshape(-1, 4)[:M]
+                boxes[i, :len(b)] = b
+                box_valid[i, :len(b)] = True
+                has_boxes[i] = True
+
+        batch = {
+            "query_ids": query_ids,
+            "query_valid": query_valid,
+            "answer_ids": answer_ids,
+            "answer_lens": lens,
+            "task_id": np.asarray(
+                [TASK_IDS.get(it["task"], 0) for it in items], np.int32),
+            "has_answer": np.asarray(
+                ["answer" in it for it in items], bool),
+            "boxes": boxes,
+            "box_labels": np.zeros((B, M), np.int32),
+            "box_valid": box_valid,
+            "has_boxes": has_boxes,
+        }
+        if "image" in items[0]:
+            batch["image"] = np.stack([it["image"] for it in items])
+        return batch
+
+
+class DataLoader:
+    """Shuffling, fixed-batch, thread-pooled prefetching iterator."""
+
+    def __init__(self, dataset, collator: Collator, batch_size: int,
+                 shuffle: bool = True, drop_last: bool = True,
+                 num_workers: int = 8, seed: int = 0,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.collator = collator
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        nb = len(self)
+        return [order[i * self.batch_size:(i + 1) * self.batch_size]
+                for i in range(nb)]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batches()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def load_batch(bi: int, idxs: np.ndarray):
+            rng = np.random.RandomState(
+                (self.seed * 1000003 + self.epoch * 9973 + bi) % (2 ** 31))
+            items = [self.dataset.get(int(i), rng) for i in idxs]
+            return self.collator(items)
+
+        def producer():
+            try:
+                import concurrent.futures as cf
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    futures = [pool.submit(load_batch, bi, idxs)
+                               for bi, idxs in enumerate(batches)]
+                    for f in futures:
+                        if stop.is_set():
+                            for g in futures:
+                                g.cancel()
+                            break
+                        out_q.put(("ok", f.result()))
+            except Exception as e:  # surfaces in the consumer
+                out_q.put(("err", e))
+            finally:
+                out_q.put(("done", None))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                kind, payload = out_q.get()
+                if kind == "done":
+                    break
+                if kind == "err":
+                    raise payload
+                yield payload
+        finally:
+            stop.set()

@@ -74,6 +74,9 @@ _DETOK_ENDING_QUOTES = [
     (re.compile(r" ''"), '"'),
 ]
 _DETOK_PUNCT = [
+    (re.compile(r"\s(--)\s"), r"\1"),
+    (re.compile(r"([\[\(\{\<])\s"), r"\1"),
+    (re.compile(r"\s([\]\)\}\>])"), r"\1"),
     (re.compile(r"\s([?!])"), r"\g<1>"),
     (re.compile(r'([^\.])\s(\.)([\]\)}>"\']*)\s*$'), r"\1\2\3"),
     (re.compile(r"([#$])\s"), r"\g<1>"),
