@@ -77,13 +77,15 @@ class BertEncoder(nn.Module):
     heads: int = 12
     intermediate: int = 3072
     vocab_size: int = 30522
+    max_len: int = 512
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, input_ids, valid: Optional[jnp.ndarray] = None,
                  token_type_ids=None, deterministic=True):
-        x = BertEmbeddings(self.vocab_size, self.hidden, dropout=self.dropout,
+        x = BertEmbeddings(self.vocab_size, self.hidden, self.max_len,
+                           dropout=self.dropout,
                            dtype=self.dtype, name="embeddings")(
             input_ids, token_type_ids, deterministic)
         for i in range(self.num_layers):
