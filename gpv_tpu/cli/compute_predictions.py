@@ -1,0 +1,56 @@
+"""Offline eval CLI: `python -m gpv_tpu.cli.compute_predictions
+eval.task=CocoVqa eval.subset=val <overrides...>`.
+
+Behavior spec: reference `python -m exp.gpv.compute_predictions`
+(`compute_predictions.py:127-191`): batched greedy inference over the chosen
+task/subset -> HDF5 boxes + predictions JSON -> per-novelty evaluator metrics.
+"""
+import sys
+from pathlib import Path
+
+
+def main(argv=None):
+    from gpv_tpu.datasets.coco import DATASET_CLASSES
+    from gpv_tpu.infer.predictions import (evaluate_predictions,
+                                           make_predictions)
+    from gpv_tpu.utils.config import load_config
+    from inference import build_engine
+
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = load_config("configs", "exp/gpv", overrides)
+    task = cfg.eval.task
+    subset = cfg.eval.subset
+
+    ckpt = cfg.eval.get("ckpt")
+    cfg["ckpt"] = ckpt if ckpt and Path(str(ckpt)).exists() else None
+    engine = build_engine(cfg)
+
+    ld = cfg.learning_datasets
+    task_cfg_name = ld[task].task_config if task in ld else None
+    if task_cfg_name is None:
+        # fall back: task name -> canonical config key
+        task_cfg_name = {
+            "CocoVqa": "coco_vqa", "CocoCaptioning": "coco_captioning",
+            "CocoClassification": "coco_classification",
+            "CocoDetection": "coco_detection", "RefCocop": "refcocop",
+        }[task]
+    task_cfg = cfg.task_configs[task_cfg_name]
+    dataset = DATASET_CLASSES[task](task_cfg, subset, training=False)
+
+    eval_dir = Path(cfg.exp_dir) / "eval"
+    data_split = cfg.task_configs.data_split
+    predictions, boxes_path, _ = make_predictions(
+        engine, dataset, task, int(cfg.eval.batch_size), eval_dir, subset,
+        data_split, cfg.eval.get("num_eval_batches"))
+
+    metrics = evaluate_predictions(
+        task, dataset.samples, predictions, boxes_path, eval_dir, subset,
+        data_split,
+        image_dir=task_cfg.image_dir if task in ("CocoDetection",
+                                                 "RefCocop") else None)
+    print(metrics.get("everything"))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

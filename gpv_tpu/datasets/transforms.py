@@ -61,7 +61,7 @@ def adjust_hue(img, factor):
     p = v * (1.0 - s)
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(np.int32) % 6
+    i = (i.astype(np.int32) % 6)[..., None]
     out = np.select(
         [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
         [np.stack([v, t, p], -1), np.stack([q, v, p], -1),

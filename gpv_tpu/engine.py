@@ -1,0 +1,134 @@
+"""GPVEngine: the user-facing inference runtime.
+
+One jitted graph per (batch, image-size, decode-kind): on-device normalize ->
+encode (ResNet/DETR/BERT/co-attention/relevance) -> KV-cached greedy or beam
+decode -> relevance-sorted boxes. This is the TPU-native replacement for the
+reference's `inference.py` / `compute_predictions.py` glue (preprocessing on
+host, per-step python decode): everything between uint8 pixels and token ids
+runs inside XLA.
+
+Output contract matches `inference.py:24-47`: `answer: str`,
+`boxes: (Q, 4) normalized cxcywh sorted by relevance`, `relevance: (Q,)`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .decode import beam_decode, greedy_decode
+from .models.gpv import GPV, build_gpv
+from .ops.image import normalize_image
+from .text.vocab import AnswerVocab
+from .text.wordpiece import WordPieceTokenizer
+
+
+class GPVEngine:
+    def __init__(self, model: GPV, variables, vocab: AnswerVocab,
+                 tokenizer: WordPieceTokenizer, max_query_len: int = 20):
+        self.model = model
+        self.variables = variables
+        self.vocab = vocab
+        self.tokenizer = tokenizer
+        self.max_query_len = max_query_len
+        self._greedy = jax.jit(self._greedy_fn)
+        self._beam = jax.jit(self._beam_fn,
+                             static_argnames=("beam_size",))
+
+    @classmethod
+    def from_config(cls, model_cfg, vocab: AnswerVocab,
+                    tokenizer: WordPieceTokenizer, variables=None,
+                    dtype=jnp.bfloat16, seed: int = 0):
+        model = build_gpv(model_cfg, vocab_size=len(vocab), dtype=dtype)
+        if variables is None:
+            rng = jax.random.PRNGKey(seed)
+            imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+            qids = jnp.zeros((1, 4), jnp.int32)
+            aids = jnp.zeros((1, 4), jnp.int32)
+            variables = model.init(rng, imgs, qids, aids, train=False)
+        return cls(model, variables, vocab, tokenizer)
+
+    # ---- jitted cores ----
+
+    def _encode(self, variables, images_f32, query_ids, query_valid):
+        images = normalize_image(images_f32 / 255.0)
+        memory, mem_valid, outputs = self.model.apply(
+            variables, images, query_ids, image_valid=None,
+            query_valid=query_valid, method=GPV.encode)
+        rel = jax.nn.softmax(
+            outputs["pred_relevance_logits"].astype(jnp.float32), -1)[..., 0]
+        order = jnp.argsort(-rel, axis=-1)
+        boxes = jnp.take_along_axis(
+            outputs["pred_boxes"].astype(jnp.float32),
+            order[..., None], axis=1)
+        rel_sorted = jnp.take_along_axis(rel, order, axis=1)
+        return memory, mem_valid, boxes, rel_sorted
+
+    def _greedy_fn(self, variables, images_f32, query_ids, query_valid,
+                   vocab_mask):
+        memory, mem_valid, boxes, rel = self._encode(
+            variables, images_f32, query_ids, query_valid)
+        tokens, logits = greedy_decode(self.model, variables, memory,
+                                       mem_valid, self.vocab.cls_id,
+                                       vocab_mask)
+        return tokens, boxes, rel
+
+    def _beam_fn(self, variables, images_f32, query_ids, query_valid,
+                 vocab_mask, beam_size):
+        memory, mem_valid, boxes, rel = self._encode(
+            variables, images_f32, query_ids, query_valid)
+        seqs, logp = beam_decode(self.model, variables, memory, mem_valid,
+                                 self.vocab.cls_id, beam_size, vocab_mask)
+        return seqs, logp, boxes, rel
+
+    # ---- host API ----
+
+    def _prep(self, images_uint8: np.ndarray, queries: List[str]):
+        images = jnp.asarray(np.asarray(images_uint8), jnp.float32)
+        qids, qvalid = self.tokenizer.batch_encode(queries,
+                                                   self.max_query_len)
+        return images, jnp.asarray(qids), jnp.asarray(qvalid)
+
+    def predict(self, images_uint8, queries: List[str],
+                vocab_mask: Optional[np.ndarray] = None):
+        """Batched greedy prediction.
+
+        Args:
+          images_uint8: (B, H, W, 3) uint8 (any fixed H, W per call).
+          queries: list of B strings.
+
+        Returns list of B dicts {answer, boxes, relevance}.
+        """
+        images, qids, qvalid = self._prep(images_uint8, queries)
+        vm = None if vocab_mask is None else jnp.asarray(vocab_mask)
+        tokens, boxes, rel = self._greedy(self.variables, images, qids,
+                                          qvalid, vm)
+        answers = self.vocab.decode_ids(np.asarray(tokens))
+        boxes, rel = np.asarray(boxes), np.asarray(rel)
+        return [{"answer": answers[i], "boxes": boxes[i],
+                 "relevance": rel[i]} for i in range(len(queries))]
+
+    def predict_beam(self, images_uint8, queries: List[str],
+                     beam_size: int = 5,
+                     vocab_mask: Optional[np.ndarray] = None):
+        """Batched beam-search prediction; returns per-sample
+        {answers: [str x K], answer_probs: [float x K], boxes, relevance}
+        (contract of `inference_beam_search.py:25-45`)."""
+        images, qids, qvalid = self._prep(images_uint8, queries)
+        vm = None if vocab_mask is None else jnp.asarray(vocab_mask)
+        seqs, logp, boxes, rel = self._beam(self.variables, images, qids,
+                                            qvalid, vm, beam_size)
+        seqs = np.asarray(seqs)
+        probs = np.exp(np.asarray(logp))
+        boxes, rel = np.asarray(boxes), np.asarray(rel)
+        out = []
+        for i in range(len(queries)):
+            answers = self.vocab.decode_ids(seqs[i])
+            out.append({"answers": answers,
+                        "answer_probs": probs[i].tolist(),
+                        "boxes": boxes[i], "relevance": rel[i]})
+        return out

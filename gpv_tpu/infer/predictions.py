@@ -1,0 +1,154 @@
+"""Offline batched prediction + evaluation pipeline.
+
+Behavior spec: reference `exp/gpv/compute_predictions.py` — batched greedy
+decode (classification adds the COCO class-name vocab mask, use_syns=False),
+boxes+relevance sorted by relevance to HDF5 groups keyed by sample id,
+answers to `{task}_{split}_{subset}_predictions.json`, then per-novelty
+evaluator runs into `..._metrics.json`; det/refexp samples get image W/H
+attached first (`update_samples_with_image_size`).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..datasets.coco import DATASET_CLASSES
+from ..engine import GPVEngine
+from ..evaluation.evaluators import EVALUATOR_CLASSES, TASK_TO_ID_FIELD
+from ..text.treebank import word_tokenize
+from ..evaluation.evaluators import coco_synonyms
+
+
+def coco_vocab_mask(vocab, use_syns: bool = False) -> np.ndarray:
+    """COCO-class vocab mask (reference `create_coco_vocab_mask`)."""
+    words = []
+    for cls_name, syns in coco_synonyms().items():
+        for phrase in (syns if use_syns else [cls_name]):
+            words.extend(word_tokenize(phrase))
+    return vocab.make_mask(words)
+
+
+def update_samples_with_image_size(image_dir, samples):
+    from ..datasets.coco import coco_image_path
+    from PIL import Image
+    for sample in samples:
+        path = coco_image_path(image_dir, sample["image"]["subset"],
+                               sample["image"]["image_id"])
+        with Image.open(path) as im:
+            sample["image"]["W"], sample["image"]["H"] = im.size
+    return samples
+
+
+def make_predictions(engine: GPVEngine, dataset, task: str,
+                     batch_size: int, eval_dir: str | Path, subset: str,
+                     data_split: str = "gpv_split",
+                     num_eval_batches: Optional[int] = None):
+    """Run batched greedy inference over a dataset; write HDF5 + JSON.
+
+    Returns (predictions dict, boxes path, predictions path).
+    """
+    import h5py
+
+    eval_dir = Path(eval_dir)
+    eval_dir.mkdir(parents=True, exist_ok=True)
+    id_field = TASK_TO_ID_FIELD[task]
+
+    vocab_mask = None
+    if task == "CocoClassification":
+        vocab_mask = coco_vocab_mask(engine.vocab, use_syns=False)
+
+    boxes_path = eval_dir / f"{task}_{subset}_boxes.h5py"
+    boxes_h5 = h5py.File(boxes_path, "w")
+    predictions = {}
+    rng = np.random.RandomState(0)
+    n = len(dataset)
+    cnt = 0
+    num_batches = (n + batch_size - 1) // batch_size
+    for bi in range(num_batches):
+        if num_eval_batches is not None and bi > num_eval_batches:
+            break
+        idxs = range(bi * batch_size, min((bi + 1) * batch_size, n))
+        items = [dataset.get(i, rng) for i in idxs]
+        images = np.stack([it["image"] for it in items])
+        queries = [it["query"] for it in items]
+        outs = engine.predict(images, queries, vocab_mask)
+        for it, out in zip(items, outs):
+            sample_id = it["sample"][id_field]
+            predictions[sample_id] = {"answer": out["answer"]}
+            grp = boxes_h5.create_group(str(sample_id))
+            grp.create_dataset("boxes", data=out["boxes"])
+            grp.create_dataset("relevance", data=out["relevance"])
+            cnt += 1
+    boxes_h5.close()
+
+    pred_path = eval_dir / f"{task}_{data_split}_{subset}_predictions.json"
+    pred_path.write_text(json.dumps(predictions, default=str))
+    return predictions, boxes_path, pred_path
+
+
+def evaluate_predictions(task: str, samples, predictions, boxes_path,
+                         eval_dir, subset: str, data_split: str = "gpv_split",
+                         image_dir: Optional[str] = None):
+    """Run the task evaluator per novelty split -> metrics dict (+json)."""
+    import h5py
+
+    if task in ("CocoDetection", "RefCocop") and image_dir is not None:
+        samples = update_samples_with_image_size(image_dir, samples)
+
+    preds_by_str = {str(k): v for k, v in predictions.items()}
+    boxes = h5py.File(boxes_path, "r") if boxes_path else None
+    evaluator_cls = EVALUATOR_CLASSES[task]
+    novelties = (["everything", "seen_concepts", "held_out_concepts"]
+                 if data_split == "gpv_split" else ["everything"])
+    metrics = {}
+    for novelty in novelties:
+        ev = evaluator_cls(samples, preds_by_str, boxes)
+        metrics[novelty] = ev.evaluate(novelty)
+    if boxes:
+        boxes.close()
+
+    out_path = (Path(eval_dir)
+                / f"{task}_{data_split}_{subset}_metrics.json")
+    out_path.write_text(json.dumps(metrics, default=str, indent=1))
+    return metrics
+
+
+def compute_vqa_test_predictions(engine, dataset, batch_size,
+                                 out_path) -> list:
+    """Eval-server format: [{'question_id', 'answer'}] (reference
+    compute_vqa_test_predictions.py:29-67)."""
+    results = []
+    rng = np.random.RandomState(0)
+    n = len(dataset)
+    for bi in range((n + batch_size - 1) // batch_size):
+        items = [dataset.get(i, rng)
+                 for i in range(bi * batch_size, min((bi + 1) * batch_size, n))]
+        images = np.stack([it["image"] for it in items])
+        outs = engine.predict(images, [it["query"] for it in items])
+        for it, out in zip(items, outs):
+            results.append({"question_id": it["sample"]["question_id"],
+                            "answer": out["answer"]})
+    Path(out_path).write_text(json.dumps(results))
+    return results
+
+
+def compute_cap_test_predictions(engine, dataset, batch_size,
+                                 out_path) -> list:
+    """Eval-server format: [{'image_id', 'caption'}] (reference
+    compute_cap_test_predictions.py:85-113)."""
+    results = []
+    rng = np.random.RandomState(0)
+    n = len(dataset)
+    for bi in range((n + batch_size - 1) // batch_size):
+        items = [dataset.get(i, rng)
+                 for i in range(bi * batch_size, min((bi + 1) * batch_size, n))]
+        images = np.stack([it["image"] for it in items])
+        outs = engine.predict(images, [it["query"] for it in items])
+        for it, out in zip(items, outs):
+            results.append({"image_id": it["sample"]["image"]["image_id"],
+                            "caption": out["answer"]})
+    Path(out_path).write_text(json.dumps(results))
+    return results

@@ -241,6 +241,10 @@ def build_gpv(cfg, vocab_size: int, dtype=jnp.float32) -> GPV:
         last_layer_only=cfg.detr.last_layer_only,
         aux_loss=cfg.detr.aux_loss,
     )
+    if cfg.detr.get("backbone_layers"):
+        detr_cfg["backbone_layers"] = tuple(
+            int(x) for x in cfg.detr.backbone_layers)
+    bert_cfg = cfg.get("bert") or {}
     return GPV(
         vocab_size=vocab_size,
         hidden_dim=cfg.hidden_dim,
@@ -257,4 +261,8 @@ def build_gpv(cfg, vocab_size: int, dtype=jnp.float32) -> GPV:
         text_decoder_heads=cfg.text_decoder.nheads,
         detr_cfg=detr_cfg,
         roi_head=cfg.roi_head,
+        bert_layers=int(bert_cfg.get("num_layers", 12)),
+        bert_hidden=int(bert_cfg.get("hidden", 768)),
+        bert_heads=int(bert_cfg.get("heads", 12)),
+        bert_vocab_size=int(bert_cfg.get("vocab_size", 30522)),
         dtype=dtype)

@@ -103,16 +103,18 @@ class AnswerVocab:
         return [[self.words[int(t)] for t in row]
                 for row in np.asarray(token_ids)]
 
-    def make_mask(self, allowed_words: list[str]) -> np.ndarray:
-        """Additive vocab mask: 0 for allowed words + specials, -10000 else.
+    def make_mask(self, allowed_words: list[str],
+                  specials: tuple = (STOP, PAD)) -> np.ndarray:
+        """Additive vocab mask: 0 for allowed words + `specials`, -10000 else.
 
-        Matches `create_coco_vocab_mask` (`exp/gpv/metrics.py:122-144`).
+        Matches `create_coco_vocab_mask` (`exp/gpv/metrics.py:122-144`),
+        which only unmasks __stop__/__pad__ among the specials.
         """
         mask = np.full((len(self.words),), -10000.0, np.float32)
         for w in allowed_words:
             idx = self.word_to_idx.get(w)
             if idx is not None:
                 mask[idx] = 0.0
-        for s in SPECIAL_TOKENS:
+        for s in specials:
             mask[self.word_to_idx[s]] = 0.0
         return mask

@@ -1,0 +1,300 @@
+"""Multitask trainer (the L6 experiment runtime).
+
+Behavior spec: reference `exp/gpv/train_distr.py` — per-epoch in-train eval of
+all configured tasks, best-selection-metric checkpointing (sum of
+vqa_acc + cider + det_mAP + cls_acc, :380-394), TensorBoard scalars every
+`log_step`, HTML box visualizations every `vis_step`, resume restoring
+step/epoch, 2-phase frozen-DETR schedule driven by `training.freeze`.
+`finetune` mode reproduces `finetune_distr.py`: eval = refexp mAP only every
+`eval_every` epochs, resume does NOT restore step/epoch (:268-278).
+
+TPU-native: one process drives the whole mesh (no mp.spawn/DDP); the hot loop
+is the jitted sharded train step; in-train eval reuses the jitted GPVEngine.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..datasets.coco import CocoMultitaskDataset
+from ..datasets.loader import Collator, DataLoader
+from ..engine import GPVEngine
+from ..losses.criterion import LossConfig
+from ..models.gpv import build_gpv
+from ..parallel.mesh import mesh_from_config, shard_batch
+from ..parallel.train_step import create_train_state, make_train_step
+from ..text.vocab import AnswerVocab
+from ..text.wordpiece import WordPieceTokenizer
+from ..utils.html_writer import HtmlWriter
+from ..utils.visualize import save_vis, vis_sample
+from . import metrics as train_metrics
+from .checkpoint import (load_pretr_detr, load_torch_state_dict,
+                         convert_gpv_torch, restore_checkpoint,
+                         save_checkpoint)
+from .optimizer import build_optimizer
+
+
+def _norm_to_uint8(image_f32_norm: np.ndarray) -> np.ndarray:
+    mean = np.asarray([0.485, 0.456, 0.406])
+    std = np.asarray([0.229, 0.224, 0.225])
+    x = (image_f32_norm * std + mean) * 255.0
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+class Trainer:
+    def __init__(self, cfg, finetune: bool = False):
+        self.cfg = cfg
+        self.finetune = finetune
+        self.dtype = (jnp.bfloat16
+                      if str(cfg.tpu.dtype) == "bfloat16" else jnp.float32)
+        self.mesh = mesh_from_config(cfg.tpu)
+
+        # vocab / tokenizer
+        if cfg.model.vocab:
+            self.vocab = AnswerVocab.load(cfg.model.vocab)
+        else:
+            self.vocab = AnswerVocab.debug()
+        bert_vocab = cfg.model.get("bert_vocab")
+        self.tokenizer = (WordPieceTokenizer.load(bert_vocab) if bert_vocab
+                          else WordPieceTokenizer.debug())
+
+        self.model = build_gpv(cfg.model, vocab_size=len(self.vocab),
+                               dtype=self.dtype)
+
+        # datasets
+        self.datasets = {}
+        for subset in ("train", "val"):
+            self.datasets[subset] = CocoMultitaskDataset(
+                cfg.learning_datasets, cfg.task_configs, subset,
+                training=(subset == "train"))
+        self.collator = Collator(
+            self.vocab, self.tokenizer,
+            max_text_len=int(cfg.model.max_text_len),
+            max_target_boxes=int(cfg.model.get("max_target_boxes", 64)))
+        batch_size = int(cfg.training.batch_size)
+        self.loaders = {
+            s: DataLoader(d, self.collator, batch_size,
+                          shuffle=(s == "train"),
+                          num_workers=int(cfg.training.num_workers),
+                          seed=0)
+            for s, d in self.datasets.items()}
+
+        # model init + pretrained DETR
+        rng = jax.random.PRNGKey(0)
+        H = int(cfg.task_configs.image_size.H)
+        W = int(cfg.task_configs.image_size.W)
+        variables = self.model.init(
+            rng, jnp.zeros((1, H, W, 3)), jnp.zeros((1, 4), jnp.int32),
+            jnp.zeros((1, 4), jnp.int32), train=False)
+        variables = {"params": jax.device_get(variables["params"]),
+                     "batch_stats": jax.device_get(
+                         variables.get("batch_stats", {}))}
+        if cfg.model.vocab_embed:
+            ve = np.load(cfg.model.vocab_embed).astype(np.float32)
+            variables["params"]["vocab_embed"] = ve
+        if cfg.model.pretr_detr:
+            variables = load_pretr_detr(variables, cfg.model.pretr_detr)
+
+        steps_per_epoch = max(len(self.loaders["train"]), 1)
+        self.optimizer = build_optimizer(cfg.training, steps_per_epoch,
+                                         variables["params"])
+        self.state = create_train_state(variables, self.optimizer)
+        self.train_step = make_train_step(
+            self.model, self.optimizer, LossConfig.from_config(cfg.losses),
+            float(cfg.training.clip_max_norm), mesh=self.mesh)
+
+        self.engine = GPVEngine(self.model, variables, self.vocab,
+                                self.tokenizer)
+
+        self.step = 0
+        self.last_epoch = -1
+        self.best_metric = 0.0
+        self.best_epoch = -1
+
+        self.writer = None
+        if cfg.get("tb_dir"):
+            try:
+                from tensorboardX import SummaryWriter
+                self.writer = SummaryWriter(log_dir=str(cfg.tb_dir))
+            except Exception:
+                self.writer = None
+
+        if cfg.training.get("ckpt"):
+            self._resume(cfg.training.ckpt)
+
+    # ------------------------------------------------------------------
+
+    def _resume(self, ckpt_path):
+        ckpt_path = Path(ckpt_path)
+        if ckpt_path.suffix == ".pth":
+            # torch checkpoint (released reference weights)
+            sd = load_torch_state_dict(ckpt_path)
+            converted = convert_gpv_torch(sd)
+            self.state = self.state.replace(
+                params=jax.tree.map(jnp.asarray, converted["params"]),
+                batch_stats=jax.tree.map(jnp.asarray,
+                                         converted["batch_stats"]))
+            return
+        payload, meta = restore_checkpoint(ckpt_path.parent, self.state,
+                                           name=ckpt_path.name)
+        self.state = self.state.replace(
+            params=payload["params"], batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+            step=jnp.asarray(payload["step"], jnp.int32))
+        if not self.finetune:
+            # finetune_distr deliberately does not restore step/epoch
+            self.step = int(payload["step"])
+            self.last_epoch = int(meta.get("epoch", -1))
+        self.best_metric = float(meta.get("model_selection_metric", 0.0))
+        self.best_epoch = int(meta.get("epoch", -1))
+
+    def _eval_variables(self):
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
+    # ------------------------------------------------------------------
+
+    def evaluate(self, subset: str = "val") -> Dict[str, float]:
+        """In-train eval over the configured tasks -> metric dict +
+        selection metric (reference :327-385)."""
+        cfg = self.cfg
+        self.engine.variables = self._eval_variables()
+        nvs = cfg.training.num_val_samples
+        eval_bs = int(cfg.eval.batch_size)
+        results: Dict[str, float] = {}
+        selection = 0.0
+        ds = CocoMultitaskDataset(cfg.learning_datasets, cfg.task_configs,
+                                  subset, training=False)
+        for name, sub in zip(ds.names, ds.datasets):
+            if name == "CocoVqa":
+                acc = train_metrics.vqa_accuracy(
+                    self.engine, sub, eval_bs, int(nvs.get("coco_vqa", 1000)))
+                results["vqa_acc"] = acc
+                selection += acc
+            elif name == "CocoCaptioning":
+                scores = train_metrics.cap_metrics(
+                    self.engine, sub, eval_bs, int(nvs.get("coco_cap", 1000)))
+                results["cider"] = float(scores.get("Cider", 0.0))
+                results["bleu4"] = float(scores.get("Bleu4", 0.0))
+                selection += results["cider"]
+            elif name == "CocoClassification":
+                m = train_metrics.cls_metrics(
+                    self.engine, sub, eval_bs, int(nvs.get("coco_cls", 1000)))
+                results["cls_acc"] = m["accuracy"]
+                selection += m["accuracy"]
+            elif name == "CocoDetection":
+                m = train_metrics.det_metrics(
+                    self.engine, sub, eval_bs, int(nvs.get("coco_det", 1000)))
+                results["det_map"] = m["mAP"]
+                selection += m["mAP"]
+            elif name == "RefCocop":
+                m = train_metrics.refexp_metrics(
+                    self.engine, sub, eval_bs,
+                    int(nvs.get("refcocop", 1000)))
+                results["refexp_map"] = m["mAP"]
+                selection += m["mAP"]
+        if self.finetune:
+            selection = results.get("refexp_map", 0.0)
+        results["model_selection_metric"] = selection
+        return results
+
+    def visualize(self, subset: str, step: int):
+        """HTML dump of predictions vs GT (reference visualize(), :40-133)."""
+        cfg = self.cfg
+        self.engine.variables = self._eval_variables()
+        vis_dir = (Path(cfg.exp_dir) / "training_visualizations"
+                   / f"{subset}_{step}")
+        vis_dir.mkdir(parents=True, exist_ok=True)
+        ds = self.datasets[subset]
+        rng = np.random.RandomState(step)
+        n = min(int(cfg.training.num_vis_samples), len(ds))
+        idxs = rng.choice(len(ds), size=n, replace=False)
+        items = [ds.get(int(i), rng) for i in idxs]
+        outs = self.engine.predict(
+            np.stack([it["image"] for it in items]),
+            [it["query"] for it in items])
+        html = HtmlWriter(vis_dir / "index.html")
+        html.add_row(["query", "gt answer", "pred answer", "image"])
+        for i, (it, out) in enumerate(zip(items, outs)):
+            img = vis_sample(it["image"], out["boxes"], out["relevance"],
+                             it.get("boxes"), answer=out["answer"])
+            save_vis(img, vis_dir / f"{i}.jpg")
+            html.add_row([it["query"], it.get("answer", ""),
+                          out["answer"], html.image_tag(f"{i}.jpg")])
+        html.close()
+
+    def save(self, epoch: int, results: Dict[str, float]):
+        meta = {"epoch": epoch, "step": self.step,
+                "model_selection_metric":
+                    results.get("model_selection_metric", 0.0)}
+        meta.update(results)
+        save_checkpoint(self.cfg.ckpt_dir, self.state, meta)
+
+    # ------------------------------------------------------------------
+
+    def train(self):
+        cfg = self.cfg
+        num_epochs = int(cfg.training.num_epochs)
+        if cfg.training.get("freeze"):
+            num_epochs = int(cfg.training.frozen_epochs)
+        rng = jax.random.PRNGKey(1)
+        eval_every = int(cfg.training.get("eval_every", 1))
+        launch = True
+
+        for epoch in range(self.last_epoch + 1, num_epochs):
+            run_eval = (epoch % eval_every == 0) or (epoch == num_epochs - 1)
+            if run_eval and (not launch
+                             or cfg.training.get("run_eval_at_launch", True)):
+                results = self.evaluate("val")
+                sel = results["model_selection_metric"]
+                if self.writer:
+                    for k, v in results.items():
+                        self.writer.add_scalar(f"val/{k}", v, self.step)
+                print(f"epoch {epoch} eval: {results}")
+                if sel > self.best_metric or self.best_epoch < 0:
+                    self.best_metric = sel
+                    self.best_epoch = epoch
+                    self.save(epoch, results)
+            if launch and cfg.training.get("run_vis_at_launch", True):
+                self.visualize("train", self.step)
+            launch = False
+
+            loader = self.loaders["train"]
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            for it, batch in enumerate(loader):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch["image"] = jnp.asarray(
+                    batch["image"], jnp.float32)
+                # normalize on device (fold into step graph via closure-free
+                # preprocessing here to keep the step cfg-independent)
+                mean = jnp.asarray([0.485, 0.456, 0.406]) * 255.0
+                std = jnp.asarray([0.229, 0.224, 0.225]) * 255.0
+                batch["image"] = (batch["image"] - mean) / std
+                batch = shard_batch(batch, self.mesh)
+                self.state, losses = self.train_step(self.state, batch, rng)
+                self.step += 1
+                if self.step % int(cfg.training.log_step) == 0:
+                    tl = float(losses["total_loss"])
+                    dt = time.time() - t0
+                    print(f"epoch {epoch} it {it} step {self.step} "
+                          f"loss {tl:.4f} ({dt / (it + 1):.2f}s/it)")
+                    if self.writer:
+                        for k, v in losses.items():
+                            self.writer.add_scalar(
+                                f"train/{k}", float(v), self.step)
+                if self.step % int(cfg.training.vis_step) == 0:
+                    self.visualize("train", self.step)
+
+        # final eval + save
+        results = self.evaluate("val")
+        if (results["model_selection_metric"] > self.best_metric
+                or self.best_epoch < 0):
+            self.save(num_epochs - 1, results)
+        return results

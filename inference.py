@@ -1,0 +1,72 @@
+"""Single-image greedy inference CLI (public API surface #1).
+
+Behavior spec: reference `inference.py` — load checkpoint (torch .pth with
+DDP prefix strip, or native orbax), preprocess at NATIVE resolution (no
+resize, :69), greedy-decode the answer, print it plus the top
+`num_output_boxes` relevance-sorted normalized cxcywh boxes.
+
+Usage:
+  python inference.py ckpt=<path> image_path=<img> query="what is this?" \
+      [num_output_boxes=5] [model.vocab=<vocab.json>]
+"""
+import sys
+
+import numpy as np
+
+
+def build_engine(cfg):
+    import jax.numpy as jnp
+
+    from gpv_tpu.engine import GPVEngine
+    from gpv_tpu.text.vocab import AnswerVocab
+    from gpv_tpu.text.wordpiece import WordPieceTokenizer
+
+    vocab = (AnswerVocab.load(cfg.model.vocab) if cfg.model.vocab
+             else AnswerVocab.debug())
+    bert_vocab = cfg.model.get("bert_vocab")
+    tokenizer = (WordPieceTokenizer.load(bert_vocab) if bert_vocab
+                 else WordPieceTokenizer.debug())
+    engine = GPVEngine.from_config(cfg.model, vocab, tokenizer,
+                                   dtype=jnp.bfloat16)
+
+    ckpt = cfg.get("ckpt")
+    if ckpt:
+        import jax
+        from pathlib import Path
+        if str(ckpt).endswith(".pth"):
+            from gpv_tpu.train.checkpoint import (convert_gpv_torch,
+                                                  load_torch_state_dict)
+            variables = convert_gpv_torch(load_torch_state_dict(ckpt))
+        else:
+            from gpv_tpu.train.checkpoint import restore_checkpoint
+            variables, _ = restore_checkpoint(Path(ckpt).parent,
+                                              name=Path(ckpt).name)
+            variables = {"params": variables["params"],
+                         "batch_stats": variables.get("batch_stats", {})}
+        engine.variables = jax.tree.map(np.asarray, variables)
+    return engine
+
+
+def main(argv=None):
+    from gpv_tpu.datasets.coco import load_image
+    from gpv_tpu.utils.config import load_config
+
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = load_config("configs", "exp/gpv", overrides)
+    engine = build_engine(cfg)
+
+    img = load_image(cfg.image_path)  # native H x W (no resize)
+    out = engine.predict(img[None], [cfg.query])[0]
+
+    num_boxes = int(cfg.get("num_output_boxes", 5))
+    print("answer:", out["answer"])
+    print("relevant boxes (cx, cy, w, h):")
+    for i in range(min(num_boxes, len(out["boxes"]))):
+        b = out["boxes"][i]
+        print(f"  {b[0]:.4f} {b[1]:.4f} {b[2]:.4f} {b[3]:.4f} "
+              f"(relevance {out['relevance'][i]:.4f})")
+    return out
+
+
+if __name__ == "__main__":
+    main()
