@@ -1,0 +1,71 @@
+"""COCO-SCE split CLI: original_split sample JSONs -> gpv_split.
+
+`python -m gpv_tpu.cli.make_sce_split data_dir=<dir> [seed=0]
+    [train_frac=0.9]`
+
+Reproduces the reference pipeline: split_categories + split_images +
+split_data_by_categories for each of the 4 tasks/subsets
+(`data/coco/split_categories.py`, `data/coco/split_images.py`,
+`data/split_data_by_categories.py`).
+"""
+import json
+import sys
+from pathlib import Path
+
+
+def main(argv=None):
+    args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
+    data_dir = Path(args["data_dir"])
+    root = data_dir / "learning_phase_data"
+    seed = int(args.get("seed", 0))
+    train_frac = float(args.get("train_frac", 0.9))
+
+    from gpv_tpu.data.preprocess import dump_samples
+    from gpv_tpu.data.splits import (split_categories,
+                                     split_data_by_categories, split_images)
+    from gpv_tpu.evaluation import coco_synonyms
+
+    inst = json.loads(
+        (root / "coco/annotations/instances_train2014.json").read_text())
+    category_split = split_categories(inst["categories"], seed=seed)
+    (root / "coco_sce").mkdir(parents=True, exist_ok=True)
+    (root / "coco_sce/category_split.json").write_text(
+        json.dumps(category_split))
+
+    train_ids = [im["id"] for im in inst["images"]]
+    img_splits = split_images(train_ids, "train", "train2014", train_frac,
+                              seed)
+    val_inst_path = root / "coco/annotations/instances_val2014.json"
+    if val_inst_path.exists():
+        val_ids = [im["id"]
+                   for im in json.loads(val_inst_path.read_text())["images"]]
+        img_splits.update(split_images(val_ids, "val", "val2014"))
+    (root / "coco_sce/image_splits.json").write_text(json.dumps(img_splits))
+
+    syn = coco_synonyms()
+    task_to_name = {
+        "coco_vqa": "vqa", "coco_captions": "coco_captions",
+        "coco_detection": "coco_detection",
+        "coco_classification": "coco_classification",
+    }
+    for task, ds_name in task_to_name.items():
+        for subset in ("train", "val", "test"):
+            src = root / f"{task}/original_split"
+            src_file = src / (f"{subset}.json"
+                              if subset != "test" else "val.json")
+            if not src_file.exists():
+                continue
+            samples = json.loads(src_file.read_text())
+            kept, discarded, counts = split_data_by_categories(
+                samples, category_split, ds_name, subset,
+                img_splits[subset], syn)
+            dump_samples(kept, root / f"{task}/gpv_split", subset)
+            (root / f"{task}/gpv_split/{subset}_category_counts.json"
+             ).write_text(json.dumps(
+                 {k: dict(v) for k, v in counts.items()}))
+            print(f"{task}/{subset}: kept {len(kept)}, "
+                  f"discarded {len(discarded)}")
+
+
+if __name__ == "__main__":
+    main()

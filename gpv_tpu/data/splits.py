@@ -1,0 +1,213 @@
+"""COCO-SCE split machinery (seen/unseen concept splits).
+
+Behavior spec: reference `data/coco/split_categories.py` (person + 39 random
+shared / 10 held_from_vqa(=cap) / 30 held_from_det(=cls)),
+`data/coco/split_images.py` (train2014 re-split by train_frac; val2014 ->
+test) and `data/split_data_by_categories.py` (AssignCocoCategories:
+lemmatized-synonym subsequence matching over query+answer with special-case
+disambiguation for dog/bear/cup/orange/clock; train/val samples mentioning
+unseen categories are dropped).
+
+Divergence note: the reference uses WordNetLemmatizer + spaCy POS tags for
+the orange/clock noun checks; neither's data files ship in this image, so
+lemmatization is a rule-based English plural reducer and the noun checks are
+positional heuristics. This only affects which *borderline* samples get a
+category tag; the split protocol is identical.
+"""
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+from typing import Dict, List
+
+from ..text.treebank import word_tokenize
+
+_IRREGULAR = {
+    "men": "man", "women": "woman", "children": "child", "people": "person",
+    "teeth": "tooth", "feet": "foot", "geese": "goose", "mice": "mouse",
+    "knives": "knife", "leaves": "leaf", "wolves": "wolf",
+    "shelves": "shelf", "scissors": "scissors", "glasses": "glasses",
+    "skis": "ski", "buses": "bus", "benches": "bench", "couches": "couch",
+    "sandwiches": "sandwich", "watches": "watch", "dishes": "dish",
+    "brushes": "brush", "wines": "wine",
+}
+
+
+def lemmatize(word: str) -> str:
+    """Noun-style lemmatization (rule-based WordNet approximation)."""
+    w = word.lower()
+    if w in _IRREGULAR:
+        return _IRREGULAR[w]
+    if len(w) > 3 and w.endswith("ies"):
+        return w[:-3] + "y"
+    if len(w) > 3 and (w.endswith("ses") or w.endswith("xes")
+                       or w.endswith("zes") or w.endswith("ches")
+                       or w.endswith("shes")):
+        return w[:-2]
+    if len(w) > 2 and w.endswith("s") and not (
+            w.endswith("ss") or w.endswith("us") or w.endswith("is")):
+        return w[:-1]
+    return w
+
+
+def split_categories(categories: List[Dict], seed: int = 0,
+                     num_shared: int = 40, num_held_from_vqa: int = 10):
+    """80 COCO classes -> shared / held_from_vqa(=cap) / held_from_det(=cls).
+
+    person is always shared; the rest is a seeded shuffle.
+    """
+    person = [c for c in categories if c["name"] == "person"]
+    rest = [c for c in categories if c["name"] != "person"]
+    rng = random.Random(seed)
+    rng.shuffle(rest)
+    shared = person + rest[:num_shared - 1]
+    held_vqa = rest[num_shared - 1:num_shared - 1 + num_held_from_vqa]
+    held_det = rest[num_shared - 1 + num_held_from_vqa:]
+    return {
+        "shared": shared,
+        "held_from_vqa": held_vqa,
+        "held_from_det": held_det,
+        "held_from_cap": held_vqa,
+        "held_from_cls": held_det,
+    }
+
+
+def split_images(image_ids: List[int], subset: str, subset_name: str,
+                 train_frac: float = 0.9, seed: int = 0) -> Dict:
+    """train2014 -> {train, val} by train_frac; val2014 -> test."""
+    if subset == "train":
+        ids = list(image_ids)
+        rng = random.Random(seed)
+        rng.shuffle(ids)
+        n_train = int(len(ids) * train_frac)
+        return {
+            "train": {"subset": subset_name, "image_ids": ids[:n_train]},
+            "val": {"subset": subset_name, "image_ids": ids[n_train:]},
+        }
+    return {"test": {"subset": subset_name, "image_ids": list(image_ids)}}
+
+
+class AssignCocoCategories:
+    """Tag a sample with the COCO categories its text mentions."""
+
+    SPECIAL = ("orange", "dog", "cup", "clock", "bear")
+
+    def __init__(self, categories: List[Dict], synonyms: Dict[str, List[str]]):
+        self.categories = categories
+        self.synonyms = {
+            name: [ [lemmatize(t) for t in word_tokenize(s)] for s in syns]
+            for name, syns in synonyms.items()}
+
+    @staticmethod
+    def _is_subsequence(needle, haystack):
+        n = len(needle)
+        return any(haystack[i:i + n] == needle
+                   for i in range(len(haystack) - n + 1))
+
+    def _looks_like_noun(self, tokens: List[str], idx: int) -> bool:
+        """Heuristic POS check (spaCy replacement): treat as noun unless it
+        trails the sentence as a verb-ish position or directly follows a
+        color-question pattern."""
+        if idx + 1 < len(tokens) and tokens[idx + 1] in (
+                "juice", "peel", "tree", "slice"):
+            return True
+        if "color" in tokens or "colour" in tokens:
+            return False
+        if idx == len(tokens) - 1 and idx > 0 and tokens[idx - 1] in (
+                "to", "you", "they", "i", "we", "people"):
+            return False  # e.g. "do you watch"
+        return True
+
+    def _remove_special(self, name: str, appearance: str,
+                        tokens: List[str]) -> bool:
+        """True => discard this match (reference `remove_special`
+        semantics, split_data_by_categories.py:44-95)."""
+        idxs = [i for i, w in enumerate(tokens) if w == appearance]
+        # discard iff the FIRST appearance is preceded by the blocker word
+        # (reference returns on the first index either way)
+        if name == "dog":
+            for i in idxs:
+                return i > 0 and tokens[i - 1] == "hot"
+            return False
+        if name == "bear":
+            for i in idxs:
+                return i > 0 and tokens[i - 1] == "teddy"
+            return False
+        if name == "cup":
+            if appearance in ("glass", "glasses") and "wine" in tokens:
+                return True
+            for i in idxs:
+                return i > 0 and tokens[i - 1] in ("wear", "wearing")
+            return False
+        if name == "orange":
+            return not any(self._looks_like_noun(tokens, i) for i in idxs)
+        if name == "clock" and appearance in ("watch", "watches"):
+            if tokens and tokens[-1] in ("watch", "watches"):
+                return True
+            return not any(self._looks_like_noun(tokens, i) for i in idxs)
+        return False
+
+    def assign(self, sample: Dict) -> List[Dict]:
+        text = sample["query"]
+        if "answer" in sample:
+            text = text + " " + str(sample["answer"])
+        tokens = [lemmatize(w) for w in word_tokenize(text)]
+        assigned = []
+        for category in self.categories:
+            for syn in self.synonyms.get(category["name"], []):
+                if self._is_subsequence(syn, tokens):
+                    if category["name"] in self.SPECIAL and \
+                            self._remove_special(category["name"], syn[0],
+                                                 tokens):
+                        break
+                    assigned.append(category)
+                    break
+        return assigned
+
+
+def split_data_by_categories(samples: List[Dict], category_split: Dict,
+                             dataset_name: str, subset: str,
+                             image_split: Dict,
+                             synonyms: Dict[str, List[str]]):
+    """Assign seen/unseen tags and drop train/val samples mentioning unseen
+    categories (reference `split_data`)."""
+    if dataset_name in ("vqa", "coco_vqa", "coco_captions"):
+        seen_groups = ("shared", "held_from_det")
+        unseen_groups = ("held_from_vqa",)
+    elif dataset_name in ("coco_detection", "coco_classification"):
+        seen_groups = ("shared", "held_from_vqa")
+        unseen_groups = ("held_from_det",)
+    else:
+        raise NotImplementedError(dataset_name)
+
+    seen_cats = [c for g in seen_groups for c in category_split[g]]
+    unseen_cats = [c for g in unseen_groups for c in category_split[g]]
+    image_ids = set(image_split["image_ids"])
+    img_subset = image_split["subset"]
+
+    filtered = [s for s in samples
+                if s["image"]["subset"] == img_subset
+                and s["image"]["image_id"] in image_ids]
+
+    seen_assigner = AssignCocoCategories(seen_cats, synonyms)
+    unseen_assigner = AssignCocoCategories(unseen_cats, synonyms)
+    kept, discarded = [], []
+    for sample in filtered:
+        sample = dict(sample)
+        sample["coco_categories"] = {
+            "seen": [c["name"] for c in seen_assigner.assign(sample)],
+            "unseen": [c["name"] for c in unseen_assigner.assign(sample)],
+        }
+        if subset in ("train", "val") and sample["coco_categories"]["unseen"]:
+            discarded.append(sample)
+        else:
+            kept.append(sample)
+
+    counts = {"seen": Counter(), "unseen": Counter()}
+    for s in kept:
+        for c in s["coco_categories"]["seen"]:
+            counts["seen"][c] += 1
+        for c in s["coco_categories"]["unseen"]:
+            counts["unseen"][c] += 1
+    return kept, discarded, counts

@@ -1,0 +1,34 @@
+#!/bin/bash
+# Two-phase multitask training driver (reference exp/gpv/scripts/train.sh):
+# phase 1 trains with DETR frozen, phase 2 finetunes end-to-end from the
+# phase-1 best checkpoint.
+LEARNING_DATASETS=$1
+DATA_SPLIT=$2
+EXP_NAME=$3
+OUTPUT_DIR=$4
+DATA_DIR=$5
+
+DETR_CKPT="${DATA_DIR}/detr/detr_coco_sce.pth"
+if [[ $DATA_SPLIT == "original_split" ]]; then
+    DETR_CKPT="${DATA_DIR}/detr/detr_coco.pth"
+fi
+
+python -m gpv_tpu.cli.train \
+    exp_name=$EXP_NAME \
+    output_dir=$OUTPUT_DIR \
+    data_dir=$DATA_DIR \
+    learning_datasets=$LEARNING_DATASETS \
+    task_configs.data_split=$DATA_SPLIT \
+    model.pretr_detr=$DETR_CKPT \
+    training.freeze=True
+
+CKPT="${OUTPUT_DIR}/${EXP_NAME}/ckpts/model"
+
+python -m gpv_tpu.cli.train \
+    exp_name=$EXP_NAME \
+    output_dir=$OUTPUT_DIR \
+    data_dir=$DATA_DIR \
+    learning_datasets=$LEARNING_DATASETS \
+    task_configs.data_split=$DATA_SPLIT \
+    training.ckpt=$CKPT \
+    training.freeze=False

@@ -1,0 +1,150 @@
+"""Offline data pipeline tests: preprocessors, SCE splits, vocab builder."""
+import json
+
+import numpy as np
+import pytest
+
+from gpv_tpu.data import (build_vocab, lemmatize, preprocess_captions,
+                          preprocess_classification, preprocess_detection,
+                          preprocess_vqa, split_categories,
+                          split_data_by_categories, split_images)
+from gpv_tpu.data.splits import AssignCocoCategories
+from gpv_tpu.evaluation import coco_synonyms
+
+
+def fake_instances():
+    return {
+        "images": [{"id": 1, "file_name": "COCO_train2014_000000000001.jpg"},
+                   {"id": 2, "file_name": "COCO_train2014_000000000002.jpg"}],
+        "categories": [{"id": 18, "name": "dog"},
+                       {"id": 1, "name": "person"}],
+        "annotations": [
+            {"image_id": 1, "category_id": 18, "id": 101,
+             "bbox": [10, 10, 30, 30]},
+            {"image_id": 1, "category_id": 18, "id": 102,
+             "bbox": [50, 50, 20, 20]},
+            {"image_id": 1, "category_id": 1, "id": 103,
+             "bbox": [5, 5, 10, 40]},
+            {"image_id": 2, "category_id": 1, "id": 104,
+             "bbox": [0, 0, 10, 10]},
+        ],
+    }
+
+
+class TestPreprocessors:
+    def test_detection_groups_per_image_category(self):
+        ds = preprocess_detection(fake_instances())
+        assert len(ds) == 3  # (1,dog), (1,person), (2,person)
+        dog = [s for s in ds if s["category_name"] == "dog"][0]
+        assert len(dog["boxes"]) == 2
+        assert dog["id"] == 101  # smallest instance id
+        assert "dog" in dog["query"].lower()
+        assert dog["image"] == {"subset": "train2014", "image_id": 1}
+
+    def test_classification_smallest_id_box(self):
+        ds = preprocess_classification(fake_instances())
+        dog = [s for s in ds if s["answer"] == "dog"][0]
+        assert dog["boxes"] == [10, 10, 30, 30]
+        assert dog["id"] == 101
+
+    def test_captions(self):
+        caps = {
+            "images": [{"id": 1,
+                        "file_name": "COCO_train2014_000000000001.jpg"}],
+            "annotations": [{"image_id": 1, "id": 7, "caption": "a dog."}],
+        }
+        ds = preprocess_captions(caps)
+        assert ds[0]["answer"] == "a dog."
+        assert ds[0]["cap_id"] == 7
+        test_ds = preprocess_captions(caps, test=True)
+        assert "answer" not in test_ds[0]
+
+    def test_vqa(self):
+        qs = {"data_subtype": "train2014",
+              "questions": [{"image_id": 1, "question": "how many dogs?",
+                             "question_id": 11}]}
+        annos = {"annotations": [{
+            "question_id": 11, "image_id": 1,
+            "multiple_choice_answer": "2", "question_type": "how many",
+            "answer_type": "number",
+            "answers": [{"answer": "2"}] * 7 + [{"answer": "3"}] * 3}]}
+        ds = preprocess_vqa(qs, annos)
+        assert ds[0]["answer"] == "2"
+        assert ds[0]["all_answers"] == {"2": 7, "3": 3}
+        assert ds[0]["anno"]["answer_type"] == "number"
+
+
+class TestSplits:
+    def test_category_split_counts(self):
+        cats = [{"id": i, "name": f"c{i}"} for i in range(2, 81)] + [
+            {"id": 1, "name": "person"}]
+        split = split_categories(cats, seed=0)
+        assert len(split["shared"]) == 40
+        assert len(split["held_from_vqa"]) == 10
+        assert len(split["held_from_det"]) == 30
+        assert split["shared"][0]["name"] == "person"
+        assert split["held_from_cap"] == split["held_from_vqa"]
+
+    def test_image_split(self):
+        out = split_images(list(range(100)), "train", "train2014",
+                           train_frac=0.9, seed=0)
+        assert len(out["train"]["image_ids"]) == 90
+        assert len(out["val"]["image_ids"]) == 10
+        assert not (set(out["train"]["image_ids"])
+                    & set(out["val"]["image_ids"]))
+
+    def test_assign_categories(self):
+        syn = coco_synonyms()
+        cats = [{"id": 18, "name": "dog"}, {"id": 3, "name": "car"}]
+        a = AssignCocoCategories(cats, syn)
+        got = [c["name"] for c in a.assign({"query": "locate the dogs"})]
+        assert got == ["dog"]
+        got = [c["name"] for c in a.assign(
+            {"query": "what is this?", "answer": "car"})]
+        assert got == ["car"]
+        # "hot dog" must NOT count as dog
+        got = [c["name"] for c in a.assign(
+            {"query": "a man eating a hot dog"})]
+        assert got == []
+
+    def test_split_data_drops_unseen_train_samples(self):
+        syn = coco_synonyms()
+        category_split = {
+            "shared": [{"id": 1, "name": "person"}],
+            "held_from_vqa": [{"id": 18, "name": "dog"}],
+            "held_from_det": [{"id": 3, "name": "car"}],
+        }
+        samples = [
+            {"query": "how many dogs?", "answer": "2",
+             "image": {"subset": "train2014", "image_id": 1}},
+            {"query": "how many people?", "answer": "3",
+             "image": {"subset": "train2014", "image_id": 1}},
+        ]
+        image_split = {"subset": "train2014", "image_ids": [1]}
+        kept, discarded, counts = split_data_by_categories(
+            samples, category_split, "vqa", "train", image_split, syn)
+        assert len(kept) == 1 and len(discarded) == 1
+        assert kept[0]["query"] == "how many people?"
+        # test subset keeps everything, tagged
+        kept_t, _, _ = split_data_by_categories(
+            samples, category_split, "vqa", "test", image_split, syn)
+        assert len(kept_t) == 2
+        assert kept_t[0]["coco_categories"]["unseen"] == ["dog"]
+
+    def test_lemmatize(self):
+        assert lemmatize("dogs") == "dog"
+        assert lemmatize("people") == "person"
+        assert lemmatize("benches") == "bench"
+        assert lemmatize("glass") == "glass"
+        assert lemmatize("bus") == "bus"
+
+
+class TestVocabBuilder:
+    def test_min_count_and_specials(self):
+        answers = ["a dog"] * 12 + ["a cat"] * 5
+        vocab, cnt = build_vocab(answers, min_count=10)
+        assert "dog" in vocab and "a" in vocab
+        assert "cat" not in vocab  # count 5 <= 10
+        for s in ("__pad__", "__cls__", "__stop__", "__unk__"):
+            assert s in vocab
+        assert vocab == sorted(vocab)
