@@ -56,6 +56,16 @@ class MultiHeadAttention(nn.Module):
                deterministic: bool = True):
         """qh: (B,Tq,H,Dh), kh/vh: (B,Tk,H,Dh) -> (B,Tq,D)."""
         B, Tq = qh.shape[:2]
+        # Fused Pallas kernel path (opt-in via GPV_TPU_PALLAS=1): valid when
+        # attention dropout is inactive (inference / dropout=0).
+        from ..ops.attention import (attention_mask, fused_attention,
+                                     pallas_enabled)
+        if pallas_enabled() and (deterministic or self.dropout == 0.0):
+            Tk = kh.shape[1]
+            mask = attention_mask(key_valid, attn_mask, B, Tq, Tk)
+            out = fused_attention(qh, kh, vh, mask)
+            out = out.reshape(B, Tq, self.dim).astype(self.dtype)
+            return self.out_proj(out)
         scale = jnp.asarray(1.0 / self.head_dim ** 0.5, qh.dtype)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh,
                             preferred_element_type=jnp.float32)

@@ -23,6 +23,22 @@ import yaml
 _INTERP = re.compile(r"\$\{([^}]+)\}")
 
 
+class _YamlLoader(yaml.SafeLoader):
+    """SafeLoader + YAML-1.2-style float resolution ('1e-4' is a float,
+    as hydra/OmegaConf treat it)."""
+
+
+_YamlLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(r"""^(?:
+        [-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+       |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+       |\.[0-9_]+(?:[eE][-+][0-9]+)?
+       |[-+]?\.(?:inf|Inf|INF)
+       |\.(?:nan|NaN|NAN))$""", re.X),
+    list("-+0123456789."))
+
+
 class ConfigNode(dict):
     """Nested dict with attribute access; values resolved at finalize time."""
 
@@ -67,7 +83,20 @@ def _to_node(obj: Any) -> Any:
 
 
 def _parse_scalar(s: str) -> Any:
-    """Parse a CLI override value using yaml rules ('null', '1e-4', lists)."""
+    """Parse a CLI override value ('null', '1e-4', lists, dicts).
+
+    pyyaml's resolver rejects bare scientific notation like '1e-4' (YAML 1.1
+    wants '1.0e-4'); hydra accepts it, so numbers are tried first.
+    """
+    txt = s.strip()
+    try:
+        return int(txt)
+    except ValueError:
+        pass
+    try:
+        return float(txt)
+    except ValueError:
+        pass
     try:
         return yaml.safe_load(s)
     except yaml.YAMLError:
@@ -125,7 +154,7 @@ def _load_yaml(path: Path):
     m = re.match(r"\s*#\s*@package\s+(\S+)", text)
     if m:
         package = m.group(1)
-    data = yaml.safe_load(text) or {}
+    data = yaml.load(text, Loader=_YamlLoader) or {}
     return _to_node(data), package
 
 

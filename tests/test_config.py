@@ -1,0 +1,61 @@
+"""Config engine tests: composition, interpolation, overrides, @package."""
+import pytest
+
+from gpv_tpu.utils.config import ConfigNode, load_config, to_dict
+
+
+class TestConfigEngine:
+    def test_compose_defaults_and_interpolate(self):
+        cfg = load_config("configs", "exp/gpv")
+        assert cfg.model.detr.num_queries == 100
+        # ${model.hidden_dim} interpolation
+        assert cfg.model.co_att.bi_hidden_size == 768
+        assert cfg.model.detr_joiner.out_dim == 768
+        # ${losses} full-node interpolation
+        assert cfg.model.losses.Localization.eos_coef == 0.1
+        # defaults group landed under the @package target
+        assert "coco_vqa" in cfg.task_configs
+        # nested interpolation through task_configs
+        assert "coco/images" in cfg.task_configs.coco_vqa.image_dir
+
+    def test_group_override(self):
+        cfg = load_config("configs", "exp/gpv",
+                          ["learning_datasets=det_vqa_cap"])
+        assert set(cfg.learning_datasets) == {
+            "CocoDetection", "CocoVqa", "CocoCaptioning"}
+
+    def test_value_overrides_with_types(self):
+        cfg = load_config("configs", "exp/gpv", [
+            "training.lr=5e-4", "training.freeze=True",
+            "model.detr.num_queries=64", "training.ckpt=null",
+            "training.lr_milestones=[1,2]"])
+        assert cfg.training.lr == 5e-4
+        assert cfg.training.freeze is True
+        assert cfg.model.detr.num_queries == 64
+        assert cfg.training.ckpt is None
+        assert cfg.training.lr_milestones == [1, 2]
+
+    def test_interpolation_follows_overrides(self):
+        cfg = load_config("configs", "exp/gpv",
+                          ["model.hidden_dim=256"])
+        assert cfg.model.co_att.bi_hidden_size == 256
+        assert cfg.model.text_decoder.hidden_dim == 256
+
+    def test_exp_dir_composition(self):
+        cfg = load_config("configs", "exp/gpv",
+                          ["output_dir=/tmp/o", "exp_name=run1"])
+        assert cfg.exp_dir == "/tmp/o/run1"
+        assert cfg.ckpt_dir == "/tmp/o/run1/ckpts"
+
+    def test_missing_interpolation_raises(self):
+        import pytest as pt
+        node = ConfigNode({"a": "${nope.xyz}"})
+        from gpv_tpu.utils.config import _resolve
+        with pt.raises(KeyError):
+            _resolve(node, node)
+
+    def test_to_dict_roundtrip(self):
+        cfg = load_config("configs", "exp/gpv")
+        d = to_dict(cfg)
+        assert isinstance(d, dict)
+        assert d["model"]["detr"]["nheads"] == 8
