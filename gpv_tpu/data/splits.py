@@ -211,3 +211,19 @@ def split_data_by_categories(samples: List[Dict], category_split: Dict,
         for c in s["coco_categories"]["unseen"]:
             counts["unseen"][c] += 1
     return kept, discarded, counts
+
+
+def filter_instances_for_detr(instances_json: Dict, category_split: Dict,
+                              image_split: Dict) -> Dict:
+    """Filtered COCO instances JSON to pretrain DETR on the SCE split
+    (reference `data/coco/create_coco_gpv_split_for_detectron.py`): keep
+    images in the split, drop annotations of held_from_det categories."""
+    held_ids = {c["id"] for c in category_split["held_from_det"]}
+    image_ids = set(image_split["image_ids"])
+    out = dict(instances_json)
+    out["annotations"] = [
+        a for a in instances_json["annotations"]
+        if a["image_id"] in image_ids and a["category_id"] not in held_ids]
+    out["images"] = [im for im in instances_json["images"]
+                     if im["id"] in image_ids]
+    return out

@@ -27,32 +27,65 @@ def init_cache(model: GPV, batch: int):
 
 def greedy_decode(model: GPV, variables, memory: jnp.ndarray,
                   mem_valid: Optional[jnp.ndarray], cls_id: int,
-                  vocab_mask: Optional[jnp.ndarray] = None):
+                  vocab_mask: Optional[jnp.ndarray] = None,
+                  stop_id: Optional[int] = None):
     """Decode answers for a batch.
 
     Args:
       memory: (B, Tm, D) fused decode memory from `GPV.encode`.
       vocab_mask: optional (V,) additive mask (0 allowed / -10000 banned).
+      stop_id: when given, the loop EXITS EARLY once every sequence has
+        emitted `stop_id` (a `lax.while_loop`; output-equivalent to the full
+        unroll since tokens after the first stop are never read — the big
+        latency win for short-answer tasks like VQA/classification).
 
     Returns:
       token_ids: (B, T-1) generated ids for positions 1..T-1.
-      logits: (B, T-1, V) the logits that produced them (vocab mask applied).
+      logits: (B, T-1, V) the logits that produced them (vocab mask applied;
+        zeros at skipped positions when stop_id early-exits).
     """
     B = memory.shape[0]
+    T1 = model.max_text_len - 1
     mem_kvs = model.apply(variables, memory,
                           method=GPV.precompute_text_memory)
     caches = init_cache(model, B)
     tok0 = jnp.full((B,), cls_id, jnp.int32)
 
-    def step(carry, t):
-        caches, tok = carry
+    def one_step(caches, tok, t):
         logits, caches = model.apply(variables, tok, mem_kvs, mem_valid,
                                      caches, t, method=GPV.text_step)
         if vocab_mask is not None:
             logits = logits + vocab_mask
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (caches, nxt), (nxt, logits)
+        return caches, nxt, logits
 
-    (_, _), (tokens, logits) = jax.lax.scan(
-        step, (caches, tok0), jnp.arange(model.max_text_len - 1))
-    return jnp.transpose(tokens, (1, 0)), jnp.transpose(logits, (1, 0, 2))
+    if stop_id is None:
+        def step(carry, t):
+            caches, tok = carry
+            caches, nxt, logits = one_step(caches, tok, t)
+            return (caches, nxt), (nxt, logits)
+
+        (_, _), (tokens, logits) = jax.lax.scan(
+            step, (caches, tok0), jnp.arange(T1))
+        return jnp.transpose(tokens, (1, 0)), jnp.transpose(logits, (1, 0, 2))
+
+    V = model.vocab_size
+    tokens0 = jnp.full((B, T1), stop_id, jnp.int32)
+    logits0 = jnp.zeros((B, T1, V), jnp.float32)
+
+    def cond(state):
+        t, _, _, stopped, _, _ = state
+        return (t < T1) & ~jnp.all(stopped)
+
+    def body(state):
+        t, caches, tok, stopped, tokens, logits_buf = state
+        caches, nxt, logits = one_step(caches, tok, t)
+        tokens = tokens.at[:, t].set(nxt)
+        logits_buf = logits_buf.at[:, t].set(logits.astype(jnp.float32))
+        stopped = stopped | (nxt == stop_id)
+        return t + 1, caches, nxt, stopped, tokens, logits_buf
+
+    state = (jnp.int32(0), caches, tok0, jnp.zeros((B,), bool), tokens0,
+             logits0)
+    _, _, _, _, tokens, logits = jax.lax.while_loop(cond, body, state)
+    return tokens, logits

@@ -74,7 +74,8 @@ class GPVEngine:
             variables, images_f32, query_ids, query_valid)
         tokens, logits = greedy_decode(self.model, variables, memory,
                                        mem_valid, self.vocab.cls_id,
-                                       vocab_mask)
+                                       vocab_mask,
+                                       stop_id=self.vocab.stop_id)
         return tokens, boxes, rel
 
     def _beam_fn(self, variables, images_f32, query_ids, query_valid,

@@ -74,6 +74,35 @@ def _safe_div(num, den):
     return num / jnp.maximum(den, 1.0)
 
 
+def sigmoid_focal_loss(logits, targets, num_boxes, alpha: float = 0.25,
+                       gamma: float = 2.0):
+    """Segmentation focal loss (reference `utils/set_criterion.py` masks
+    branch; unused in the default GPV config where masks=False, kept for
+    capability parity). logits/targets: (N, P)."""
+    prob = jax.nn.sigmoid(logits)
+    ce = optax_sigmoid_ce(logits, targets)
+    p_t = prob * targets + (1 - prob) * (1 - targets)
+    loss = ce * ((1 - p_t) ** gamma)
+    if alpha >= 0:
+        loss = (alpha * targets + (1 - alpha) * (1 - targets)) * loss
+    return loss.mean(axis=1).sum() / jnp.maximum(num_boxes, 1.0)
+
+
+def optax_sigmoid_ce(logits, labels):
+    zeros = jnp.zeros_like(logits)
+    return (jnp.maximum(logits, zeros) - logits * labels
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def dice_loss(logits, targets, num_boxes):
+    """Mask dice loss (same provenance as `sigmoid_focal_loss`)."""
+    probs = jax.nn.sigmoid(logits)
+    numerator = 2 * jnp.sum(probs * targets, axis=1)
+    denominator = jnp.sum(probs, axis=1) + jnp.sum(targets, axis=1)
+    loss = 1 - (numerator + 1) / (denominator + 1)
+    return jnp.sum(loss) / jnp.maximum(num_boxes, 1.0)
+
+
 def text_ce_losses(answer_logits: jnp.ndarray, answer_ids: jnp.ndarray,
                    answer_lens: jnp.ndarray, task_id: jnp.ndarray,
                    has_answer: jnp.ndarray) -> Dict[str, jnp.ndarray]:

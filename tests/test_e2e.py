@@ -70,8 +70,8 @@ def data_dir(tmp_path_factory):
            for i in range(6)]
     d = root / "learning_phase_data/refcocop"
     d.mkdir(parents=True, exist_ok=True)
-    for subset in ("train", "val"):
-        (d / f"{subset}.json").write_text(json.dumps(ref))
+    for name in ("train", "train_100", "val"):
+        (d / f"{name}.json").write_text(json.dumps(ref))
     return root
 
 

@@ -78,6 +78,28 @@ class TestDecode:
         np.testing.assert_array_equal(
             np.asarray(jnp.argmax(tf_logits, -1)), np.asarray(tokens))
 
+    def test_early_exit_greedy_matches_full(self, model_and_vars):
+        """while_loop early-exit decode == scan decode up to the first stop
+        token (positions after stop are never read)."""
+        model, variables, imgs, qids = model_and_vars
+        memory, mem_valid, _ = model.apply(variables, imgs, qids,
+                                           method=GPV.encode)
+        full_tokens, _ = greedy_decode(model, variables, memory, mem_valid,
+                                       1)
+        stop_id = int(np.asarray(full_tokens)[0, 0])  # force quick stop
+        ee_tokens, _ = greedy_decode(model, variables, memory, mem_valid, 1,
+                                     stop_id=stop_id)
+        full = np.asarray(full_tokens)
+        ee = np.asarray(ee_tokens)
+        for b in range(full.shape[0]):
+            stops = np.where(full[b] == stop_id)[0]
+            end = stops[0] + 1 if len(stops) else full.shape[1]
+            np.testing.assert_array_equal(ee[b, :end], full[b, :end])
+            # beyond the stop: either still matches (loop alive for other
+            # rows) or is the stop_id prefill (loop exited)
+            for t in range(end, full.shape[1]):
+                assert ee[b, t] in (full[b, t], stop_id)
+
     def test_vocab_mask(self, model_and_vars):
         model, variables, imgs, qids = model_and_vars
         memory, mem_valid, _ = model.apply(variables, imgs, qids,
