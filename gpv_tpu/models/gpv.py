@@ -164,12 +164,21 @@ class GPV(nn.Module):
                        axis=0).astype(self.dtype)
         return self.answer_input_transform(emb)
 
-    def answer_logits_head(self, h):
+    def answer_classifier(self):
+        """(V, D) classifier matrix: learned transform of the frozen vocab
+        embedding (reference AnswerHead, answer_head.py:8-33). Hoisted out
+        of decode loops — recomputing it per step is ~12 GFLOPs/step waste
+        (XLA does not LICM across while_loop bodies)."""
+        if self.answer_head == "linear":
+            return None
+        return self.classifier_transform(
+            jax.lax.stop_gradient(self.vocab_embed).astype(self.dtype))
+
+    def answer_logits_head(self, h, classifier=None):
         """(..., D) decoder states -> (..., V) vocab logits."""
         if self.answer_head == "linear":
             return self.classifier(h)
-        w = self.classifier_transform(
-            jax.lax.stop_gradient(self.vocab_embed).astype(self.dtype))
+        w = classifier if classifier is not None else self.answer_classifier()
         return jnp.einsum("...d,vd->...v", h, w,
                           preferred_element_type=jnp.float32)
 
@@ -208,19 +217,23 @@ class GPV(nn.Module):
     # ---------------- incremental decode hooks (driven by gpv_tpu.decode) ---
 
     def precompute_text_memory(self, memory):
-        return self.text_decoder.precompute_memory(memory)
+        """Loop-invariant decode state: per-layer cross-attention K/V plus
+        the answer classifier matrix, computed once per decode."""
+        return (self.text_decoder.precompute_memory(memory),
+                self.answer_classifier())
 
-    def text_step(self, token_t, mem_kvs, mem_valid, caches, t):
+    def text_step(self, token_t, mem_state, mem_valid, caches, t):
         """One decode step: (B,) token ids at position t -> (B,V) logits.
 
         Returns (logits, new_caches).
         """
+        mem_kvs, classifier = mem_state
         x_t = self.embed_answer_tokens(token_t[:, None])  # (B,1,D)
         if self.text_pos_enc:
             x_t = x_t + jax.lax.dynamic_slice_in_dim(
                 self.pos_enc_table, t, 1, axis=0)[None].astype(x_t.dtype)
         y, caches = self.text_decoder.step(x_t, mem_kvs, mem_valid, caches, t)
-        return self.answer_logits_head(y[:, 0]), caches
+        return self.answer_logits_head(y[:, 0], classifier), caches
 
     def init_text_cache(self, batch: int):
         return self.text_decoder.init_cache(batch, self.max_text_len)
