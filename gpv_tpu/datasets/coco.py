@@ -37,8 +37,30 @@ def load_image(path: str | Path) -> np.ndarray:
     return img[:, :, :3]
 
 
-def resize_uint8(img: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Anti-aliased host resize (PIL bilinear+reduce, like skimage AA)."""
+_native_resize = None
+
+
+def _get_native_resize():
+    """Native C++ resize kernel when buildable (gpv_tpu/native), else None."""
+    global _native_resize
+    if _native_resize is None:
+        try:
+            from ..native import resize_bilinear_native
+            _native_resize = resize_bilinear_native
+        except Exception:
+            _native_resize = False
+    return _native_resize or None
+
+
+def resize_uint8(img: np.ndarray, h: int, w: int,
+                 use_native: bool = False) -> np.ndarray:
+    """Host bilinear resize: PIL (anti-aliased, default) or the native C++
+    kernel (`use_native=True`, point-sampled bilinear — faster, used by the
+    training input pipeline where augmentation noise dominates)."""
+    if use_native:
+        fn = _get_native_resize()
+        if fn is not None:
+            return fn(img.astype(np.uint8), h, w)
     return np.asarray(
         Image.fromarray(img.astype(np.uint8)).resize((w, h),
                                                      Image.BILINEAR))

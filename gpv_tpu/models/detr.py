@@ -42,6 +42,7 @@ class DETR(nn.Module):
     roi_head: bool = True
     roi_pooled: int = 7
     roi_max_grid: int = 8
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -55,7 +56,8 @@ class DETR(nn.Module):
         """
         B, H, W, _ = images.shape
         feats = ResNet(layers=self.backbone_layers, return_layers=("layer4",),
-                       dilate_c5=self.dilation, dtype=self.dtype,
+                       dilate_c5=self.dilation, remat=self.remat,
+                       dtype=self.dtype,
                        name="backbone")(images)["layer4"]  # (B, h, w, 2048)
         h, w = feats.shape[1:3]
 
@@ -87,7 +89,7 @@ class DETR(nn.Module):
             num_encoder_layers=self.num_encoder_layers,
             num_decoder_layers=self.num_decoder_layers,
             ffn_dim=self.dim_feedforward, dropout=self.dropout,
-            return_intermediate=True, dtype=self.dtype,
+            return_intermediate=True, remat=self.remat, dtype=self.dtype,
             name="transformer")(src, pos, query_embed, key_valid,
                                 deterministic=not train)
         # (L, B, Q, D) -> keep only the final layer unless aux supervision

@@ -57,12 +57,13 @@ class GPV(nn.Module):
     bert_hidden: int = 768
     bert_heads: int = 12
     bert_vocab_size: int = 30522
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         detr_kwargs = dict(self.detr_cfg or {})
-        self.detr = DETR(roi_head=self.roi_head, dtype=self.dtype,
-                         **detr_kwargs)
+        self.detr = DETR(roi_head=self.roi_head, remat=self.remat,
+                         dtype=self.dtype, **detr_kwargs)
         detr_out = 2048 + detr_kwargs.get("hidden_dim", 256) if self.roi_head \
             else detr_kwargs.get("hidden_dim", 256)
         self.detr_joiner = nn.Dense(self.hidden_dim, dtype=self.dtype)
@@ -73,10 +74,12 @@ class GPV(nn.Module):
                                 vocab_size=self.bert_vocab_size,
                                 dtype=self.dtype)
         self.bert_joiner = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        CoAtt = nn.remat(CoAttentionLayer) if self.remat \
+            else CoAttentionLayer
         self.co_att = [
-            CoAttentionLayer(self.hidden_dim, self.co_att_heads,
-                             self.co_att_intermediate, self.dropout,
-                             self.dtype, name=f"co_att{i}")
+            CoAtt(self.hidden_dim, self.co_att_heads,
+                  self.co_att_intermediate, self.dropout,
+                  self.dtype, name=f"co_att{i}")
             for i in range(self.co_att_num_layers)]
         num_classes = detr_kwargs.get("num_classes", 1)
         self.relevance_predictor = nn.Dense(num_classes + 1, dtype=self.dtype)
@@ -239,7 +242,8 @@ class GPV(nn.Module):
         return self.text_decoder.init_cache(batch, self.max_text_len)
 
 
-def build_gpv(cfg, vocab_size: int, dtype=jnp.float32) -> GPV:
+def build_gpv(cfg, vocab_size: int, dtype=jnp.float32,
+              remat: bool = False) -> GPV:
     """Build from the `model` config node (configs/exp/gpv.yaml schema)."""
     detr_cfg = dict(
         num_queries=cfg.detr.num_queries,
@@ -278,4 +282,5 @@ def build_gpv(cfg, vocab_size: int, dtype=jnp.float32) -> GPV:
         bert_hidden=int(bert_cfg.get("hidden", 768)),
         bert_heads=int(bert_cfg.get("heads", 12)),
         bert_vocab_size=int(bert_cfg.get("vocab_size", 30522)),
+        remat=remat,
         dtype=dtype)

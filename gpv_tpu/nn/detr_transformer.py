@@ -77,6 +77,7 @@ class DetrTransformer(nn.Module):
     ffn_dim: int = 2048
     dropout: float = 0.1
     return_intermediate: bool = True
+    remat: bool = False  # rematerialize layers (memory <-> flops trade)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -84,11 +85,13 @@ class DetrTransformer(nn.Module):
                  deterministic=True):
         """src/pos: (B, HW, D); query_embed: (Q, D); key_valid: (B, HW) bool."""
         B = src.shape[0]
+        Enc = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        Dec = nn.remat(DecoderLayer) if self.remat else DecoderLayer
         memory = src
         for i in range(self.num_encoder_layers):
-            memory = EncoderLayer(self.dim, self.num_heads, self.ffn_dim,
-                                  self.dropout, self.dtype,
-                                  name=f"encoder_layer{i}")(
+            memory = Enc(self.dim, self.num_heads, self.ffn_dim,
+                         self.dropout, self.dtype,
+                         name=f"encoder_layer{i}")(
                 memory, pos, key_valid, deterministic)
 
         query_pos = jnp.broadcast_to(query_embed[None].astype(self.dtype),
@@ -97,9 +100,9 @@ class DetrTransformer(nn.Module):
         final_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
         intermediate = []
         for i in range(self.num_decoder_layers):
-            tgt = DecoderLayer(self.dim, self.num_heads, self.ffn_dim,
-                               self.dropout, self.dtype,
-                               name=f"decoder_layer{i}")(
+            tgt = Dec(self.dim, self.num_heads, self.ffn_dim,
+                      self.dropout, self.dtype,
+                      name=f"decoder_layer{i}")(
                 tgt, memory, query_pos, pos, key_valid, deterministic)
             if self.return_intermediate:
                 intermediate.append(final_norm(tgt))

@@ -58,6 +58,7 @@ class ResNet(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)  # resnet50
     return_layers: Sequence[str] = ("layer4",)
     dilate_c5: bool = False
+    remat: bool = False  # rematerialize bottleneck blocks under grad
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -71,6 +72,7 @@ class ResNet(nn.Module):
 
         outs = {}
         planes = (64, 128, 256, 512)
+        Block = nn.remat(Bottleneck) if self.remat else Bottleneck
         for stage_i, (n_blocks, p) in enumerate(zip(self.layers, planes)):
             name = f"layer{stage_i + 1}"
             stride = 1 if stage_i == 0 else 2
@@ -78,7 +80,7 @@ class ResNet(nn.Module):
             if self.dilate_c5 and stage_i == 3:
                 stride, dilation = 1, 2
             for b in range(n_blocks):
-                x = Bottleneck(
+                x = Block(
                     planes=p,
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),

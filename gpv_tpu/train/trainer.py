@@ -65,7 +65,8 @@ class Trainer:
                           else WordPieceTokenizer.debug())
 
         self.model = build_gpv(cfg.model, vocab_size=len(self.vocab),
-                               dtype=self.dtype)
+                               dtype=self.dtype,
+                               remat=bool(cfg.tpu.get("remat", False)))
 
         # datasets
         self.datasets = {}

@@ -150,6 +150,70 @@ class TestDecode:
                                        atol=2e-3, rtol=1e-3)
 
 
+class TestBeamReferenceSemantics:
+    def test_matches_slow_python_beam(self, model_and_vars):
+        """Batched beam_decode == a slow Python replica of the reference
+        algorithm's effective semantics (k1-major candidate ordering, t=0
+        beam-0 collapse, accumulated log-probs incl. post-stop)."""
+        model, variables, imgs, qids = model_and_vars
+        memory, mem_valid, _ = model.apply(variables, imgs, qids,
+                                           method=GPV.encode)
+        K = 3
+        T1 = model.max_text_len - 1
+        Bn = memory.shape[0]
+        cls_id = 1
+
+        def tf_last_logprobs(prefix_ids):
+            """(B, S) prefixes -> (B, V) next-token log-probs: append a
+            dummy token and read the last teacher-forced position."""
+            dummy = np.concatenate(
+                [prefix_ids, np.zeros((Bn, 1), np.int64)], 1)
+            out = model.apply(variables, imgs, qids,
+                              jnp.asarray(dummy, jnp.int32), train=False)
+            logits = np.asarray(out["answer_logits"][:, -1],
+                                np.float64)
+            lsm = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+            return lsm
+
+        prefixes = [np.full((Bn, 1), cls_id, np.int64) for _ in range(K)]
+        seq_lp = np.zeros((Bn, K))
+        seqs = np.zeros((Bn, K, T1), np.int64)
+        for t in range(T1):
+            cand_scores = np.full((Bn, K, K), -np.inf)
+            cand_ids = np.zeros((Bn, K, K), np.int64)
+            for k1 in range(K):
+                lsm = tf_last_logprobs(prefixes[k1])  # (B, V)
+                top = np.argsort(-lsm, axis=-1, kind="stable")[:, :K]
+                vals = np.take_along_axis(lsm, top, -1)
+                sc = seq_lp[:, k1:k1 + 1] + vals
+                if t == 0 and k1 > 0:
+                    sc = sc * 0 - 1e9
+                cand_scores[:, k1] = sc
+                cand_ids[:, k1] = top
+            flat = cand_scores.reshape(Bn, K * K)
+            order = np.argsort(-flat, axis=-1, kind="stable")[:, :K]
+            new_prefixes = [np.zeros((Bn, t + 2), np.int64)
+                            for _ in range(K)]
+            new_seqs = np.zeros_like(seqs)
+            new_lp = np.zeros((Bn, K))
+            for b in range(Bn):
+                for k, idx in enumerate(order[b]):
+                    k1, k2 = idx // K, idx % K
+                    tok = cand_ids[b, k1, k2]
+                    new_prefixes[k][b] = np.concatenate(
+                        [prefixes[k1][b], [tok]])
+                    new_seqs[b, k, :t] = seqs[b, k1, :t]
+                    new_seqs[b, k, t] = tok
+                    new_lp[b, k] = flat[b, idx]
+            prefixes, seqs, seq_lp = new_prefixes, new_seqs, new_lp
+
+        got_seqs, got_lp = beam_decode(model, variables, memory, mem_valid,
+                                       cls_id, K)
+        np.testing.assert_allclose(np.asarray(got_lp), seq_lp, atol=2e-3,
+                                   rtol=1e-3)
+        np.testing.assert_array_equal(np.asarray(got_seqs), seqs)
+
+
 class TestCriterion:
     def _batch(self, task_names, answer_ids=None, boxes=None, box_valid=None):
         Bn = len(task_names)

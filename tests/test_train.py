@@ -111,6 +111,31 @@ class TestTrainStep:
                 first = float(losses["total_loss"])
         assert float(losses["total_loss"]) < first
 
+    def test_remat_model_trains(self):
+        """remat=True model: one step runs, loss finite, close to no-remat."""
+        mesh = make_mesh(data=8)
+        batch = make_batch(B=8)
+
+        def run(remat):
+            model = tiny_gpv(remat=remat)
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+                jnp.asarray(batch["query_ids"]),
+                jnp.asarray(batch["answer_ids"]), train=False)
+            optimizer = build_optimizer(training_cfg(), 10,
+                                        variables["params"])
+            state = create_train_state(variables, optimizer)
+            step = make_train_step(model, optimizer, LossConfig(), 0.1,
+                                   mesh=mesh, donate=False)
+            sharded = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            _, losses = step(state, sharded, jax.random.PRNGKey(1))
+            return float(losses["total_loss"])
+
+        base = run(False)
+        remat = run(True)
+        assert np.isfinite(remat)
+        np.testing.assert_allclose(remat, base, rtol=1e-4)
+
     def test_frozen_detr_phase(self):
         """training.freeze=True: detr params must not move."""
         mesh = make_mesh(data=8)
