@@ -54,10 +54,11 @@ class GPVEngine:
 
     # ---- jitted cores ----
 
-    def _encode(self, variables, images_f32, query_ids, query_valid):
+    def _encode(self, variables, images_f32, query_ids, query_valid,
+                image_valid=None):
         images = normalize_image(images_f32 / 255.0)
         memory, mem_valid, outputs = self.model.apply(
-            variables, images, query_ids, image_valid=None,
+            variables, images, query_ids, image_valid=image_valid,
             query_valid=query_valid, method=GPV.encode)
         rel = jax.nn.softmax(
             outputs["pred_relevance_logits"].astype(jnp.float32), -1)[..., 0]
@@ -69,9 +70,9 @@ class GPVEngine:
         return memory, mem_valid, boxes, rel_sorted
 
     def _greedy_fn(self, variables, images_f32, query_ids, query_valid,
-                   vocab_mask):
+                   vocab_mask, image_valid=None):
         memory, mem_valid, boxes, rel = self._encode(
-            variables, images_f32, query_ids, query_valid)
+            variables, images_f32, query_ids, query_valid, image_valid)
         tokens, logits = greedy_decode(self.model, variables, memory,
                                        mem_valid, self.vocab.cls_id,
                                        vocab_mask,
@@ -112,6 +113,49 @@ class GPVEngine:
         boxes, rel = np.asarray(boxes), np.asarray(rel)
         return [{"answer": answers[i], "boxes": boxes[i],
                  "relevance": rel[i]} for i in range(len(queries))]
+
+    def predict_native(self, images_uint8: List[np.ndarray],
+                       queries: List[str],
+                       vocab_mask: Optional[np.ndarray] = None,
+                       bucket: int = 64):
+        """Batched inference at NATIVE resolutions (the reference
+        `inference.py` no-resize path, generalized to batches).
+
+        Images are grouped into shape buckets: each is zero-padded up to the
+        bucket's (H, W) (rounded up to multiples of `bucket`) with a validity
+        mask, so one compiled executable serves a whole bucket — the
+        'bucketed padded shapes + mask' design SURVEY.md §7 calls for.
+        """
+        def bshape(img):
+            h, w = img.shape[:2]
+            return (-(-h // bucket) * bucket, -(-w // bucket) * bucket)
+
+        groups: dict = {}
+        for i, img in enumerate(images_uint8):
+            groups.setdefault(bshape(img), []).append(i)
+
+        results: list = [None] * len(images_uint8)
+        for (bh, bw), idxs in groups.items():
+            batch = np.zeros((len(idxs), bh, bw, 3), np.uint8)
+            valid = np.zeros((len(idxs), bh, bw), bool)
+            for j, i in enumerate(idxs):
+                img = images_uint8[i]
+                h, w = img.shape[:2]
+                batch[j, :h, :w] = img
+                valid[j, :h, :w] = True
+            qids, qvalid = self.tokenizer.batch_encode(
+                [queries[i] for i in idxs], self.max_query_len)
+            vm = None if vocab_mask is None else jnp.asarray(vocab_mask)
+            tokens, boxes, rel = self._greedy(
+                self.variables, jnp.asarray(batch, jnp.float32),
+                jnp.asarray(qids), jnp.asarray(qvalid), vm,
+                jnp.asarray(valid))
+            answers = self.vocab.decode_ids(np.asarray(tokens))
+            boxes, rel = np.asarray(boxes), np.asarray(rel)
+            for j, i in enumerate(idxs):
+                results[i] = {"answer": answers[j], "boxes": boxes[j],
+                              "relevance": rel[j]}
+        return results
 
     def predict_beam(self, images_uint8, queries: List[str],
                      beam_size: int = 5,

@@ -150,6 +150,33 @@ class TestDecode:
                                        atol=2e-3, rtol=1e-3)
 
 
+class TestEngineNativeRes:
+    def test_predict_native_buckets(self):
+        from gpv_tpu.engine import GPVEngine
+        from gpv_tpu.text.vocab import AnswerVocab
+        from gpv_tpu.text.wordpiece import WordPieceTokenizer
+        model = tiny_gpv()
+        rng = np.random.RandomState(0)
+        vocab = AnswerVocab.debug(size=VOCAB)
+        engine = GPVEngine(model, None, vocab, WordPieceTokenizer.debug())
+        imgs0 = jnp.zeros((1, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), imgs0,
+                               jnp.zeros((1, 4), jnp.int32),
+                               jnp.zeros((1, 4), jnp.int32), train=False)
+        engine.variables = variables
+        images = [rng.randint(0, 255, (50, 70, 3), np.uint8),
+                  rng.randint(0, 255, (90, 120, 3), np.uint8),
+                  rng.randint(0, 255, (60, 60, 3), np.uint8)]
+        out = engine.predict_native(images, ["a", "b", "c"], bucket=64)
+        assert len(out) == 3
+        for o in out:
+            assert isinstance(o["answer"], str)
+            assert o["boxes"].shape == (10, 4)
+            assert np.isfinite(o["boxes"]).all()
+            # relevance sorted descending
+            assert (np.diff(o["relevance"]) <= 1e-6).all()
+
+
 class TestBeamReferenceSemantics:
     def test_matches_slow_python_beam(self, model_and_vars):
         """Batched beam_decode == a slow Python replica of the reference
