@@ -72,10 +72,18 @@ def main():
     tokens, _, _ = infer(variables, images, query_ids, query_valid)
     np.asarray(tokens)
 
+    # Pipelined timing: fetch batch i-1's result AFTER dispatching batch i,
+    # overlapping the host round-trip with device compute (the tunnel to
+    # this chip has a ~30 ms synchronous round-trip floor; a serving loop
+    # double-buffers exactly like this). Every result is still fetched.
     t0 = time.perf_counter()
+    prev = None
     for _ in range(N_ITERS):
         tokens, _, _ = infer(variables, images, query_ids, query_valid)
-        np.asarray(tokens)
+        if prev is not None:
+            np.asarray(prev)
+        prev = tokens
+    np.asarray(prev)
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH * N_ITERS / dt

@@ -55,6 +55,7 @@ class DETR(nn.Module):
         detr_hs (L,B,Q,2304 or 256), and aux lists when aux_loss.
         """
         B, H, W, _ = images.shape
+        images = images.astype(self.dtype)  # halve HBM traffic into conv1
         feats = ResNet(layers=self.backbone_layers, return_layers=("layer4",),
                        dilate_c5=self.dilation, remat=self.remat,
                        dtype=self.dtype,

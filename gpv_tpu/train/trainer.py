@@ -268,8 +268,17 @@ class Trainer:
 
             loader = self.loaders["train"]
             loader.set_epoch(epoch)
+            from ..utils.profiling import StepTimer
+            timer = StepTimer()
             t0 = time.time()
+            profile_step = cfg.training.get("profile_step")
             for it, batch in enumerate(loader):
+                timer.tick()
+                if profile_step is not None:
+                    if self.step == int(profile_step):
+                        jax.profiler.start_trace(str(cfg.tb_dir))
+                    elif self.step == int(profile_step) + 3:
+                        jax.profiler.stop_trace()
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 batch["image"] = jnp.asarray(
                     batch["image"], jnp.float32)
@@ -290,8 +299,18 @@ class Trainer:
                         for k, v in losses.items():
                             self.writer.add_scalar(
                                 f"train/{k}", float(v), self.step)
+                        self.writer.add_scalar(
+                            "train/steps_per_sec", timer.steps_per_sec(),
+                            self.step)
                 if self.step % int(cfg.training.vis_step) == 0:
                     self.visualize("train", self.step)
+                if self.step % int(cfg.training.ckpt_step) == 0:
+                    # rolling 'last' checkpoint for preemption recovery
+                    # (beyond the reference, which only saves on metric
+                    # improvement — SURVEY.md §5 failure detection: none)
+                    save_checkpoint(cfg.ckpt_dir, self.state,
+                                    {"epoch": epoch, "step": self.step},
+                                    name="last")
 
         # final eval + save
         results = self.evaluate("val")
