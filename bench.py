@@ -31,7 +31,9 @@ BATCH = 20          # reference eval batch size (configs/exp/gpv.yaml:157)
 H, W = 480, 640     # reference fixed input size
 VOCAB = 10000
 MAX_TEXT_LEN = 20
-N_ITERS = 10
+N_ITERS = 30
+PIPELINE_DEPTH = 3  # results kept in flight before fetching (hides the
+                    # tunnel's ~30 ms synchronous round-trip floor)
 
 
 def main():
@@ -76,14 +78,16 @@ def main():
     # overlapping the host round-trip with device compute (the tunnel to
     # this chip has a ~30 ms synchronous round-trip floor; a serving loop
     # double-buffers exactly like this). Every result is still fetched.
+    from collections import deque
     t0 = time.perf_counter()
-    prev = None
+    pending = deque()
     for _ in range(N_ITERS):
         tokens, _, _ = infer(variables, images, query_ids, query_valid)
-        if prev is not None:
-            np.asarray(prev)
-        prev = tokens
-    np.asarray(prev)
+        pending.append(tokens)
+        if len(pending) > PIPELINE_DEPTH:
+            np.asarray(pending.popleft())
+    while pending:
+        np.asarray(pending.popleft())
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH * N_ITERS / dt

@@ -22,3 +22,17 @@ def vis_sample(image_uint8, boxes_cxcywh, relevance, num_boxes: int = 5,
     """Draw the top predicted boxes; returns a PIL image."""
     return _vis_sample(image_uint8, boxes_cxcywh, relevance,
                        num_boxes=num_boxes, answer=answer)
+
+
+def imshow(img):
+    """Display an image in a notebook (IPython) or save to /tmp otherwise
+    (reference inference_util.imshow, cv2->IPython)."""
+    from PIL import Image
+    pil = img if isinstance(img, Image.Image) else \
+        Image.fromarray(np.asarray(img).astype(np.uint8))
+    try:
+        from IPython.display import display
+        display(pil)
+    except Exception:
+        pil.save("/tmp/gpv_imshow.jpg")
+        print("image saved to /tmp/gpv_imshow.jpg")

@@ -166,6 +166,27 @@ class TestTrainerE2E:
         vis = list(Path(cfg.exp_dir).glob("training_visualizations/*/index.html"))
         assert vis
 
+    def test_resume_from_checkpoint(self, data_dir, tmp_path):
+        """Resume restores params/opt-state/step and continues training."""
+        cfg = tiny_cfg(data_dir, tmp_path)
+        from gpv_tpu.train.trainer import Trainer
+        t1 = Trainer(cfg)
+        t1.train()
+        # deterministic final save of the CURRENT state (the best-metric
+        # checkpoint may date from the launch eval, reference semantics)
+        t1.save(0, {"model_selection_metric": 999.0})
+
+        cfg2 = tiny_cfg(data_dir, tmp_path,
+                        extra=[f"training.ckpt={cfg.ckpt_dir}/model",
+                               "training.num_epochs=2"])
+        t2 = Trainer(cfg2)
+        np.testing.assert_array_equal(
+            np.asarray(t2.state.params["detr_joiner"]["kernel"]),
+            np.asarray(t1.state.params["detr_joiner"]["kernel"]))
+        assert t2.best_metric == pytest.approx(999.0)
+        assert int(t2.state.step) == t1.step
+        t2.train()  # continues from epoch last_epoch+1 without error
+
     def test_compute_predictions_pipeline(self, data_dir, tmp_path):
         cfg = tiny_cfg(data_dir, tmp_path)
         from gpv_tpu.datasets.coco import CocoVqa
