@@ -39,9 +39,11 @@ def main(argv=None):
 
     eval_dir = Path(cfg.exp_dir) / "eval"
     data_split = cfg.task_configs.data_split
+    beam_size = cfg.eval.get("beam_size")
     predictions, boxes_path, _ = make_predictions(
         engine, dataset, task, int(cfg.eval.batch_size), eval_dir, subset,
-        data_split, cfg.eval.get("num_eval_batches"))
+        data_split, cfg.eval.get("num_eval_batches"),
+        beam_size=int(beam_size) if beam_size else None)
 
     metrics = evaluate_predictions(
         task, dataset.samples, predictions, boxes_path, eval_dir, subset,

@@ -45,8 +45,13 @@ def update_samples_with_image_size(image_dir, samples):
 def make_predictions(engine: GPVEngine, dataset, task: str,
                      batch_size: int, eval_dir: str | Path, subset: str,
                      data_split: str = "gpv_split",
-                     num_eval_batches: Optional[int] = None):
-    """Run batched greedy inference over a dataset; write HDF5 + JSON.
+                     num_eval_batches: Optional[int] = None,
+                     beam_size: Optional[int] = None):
+    """Run batched inference over a dataset; write HDF5 + JSON.
+
+    `beam_size`: None/1 -> greedy (reference compute_predictions); K>1 ->
+    batched beam search, keeping the top beam as the answer (BASELINE
+    config #4: VQA/captioning with beam_size=5).
 
     Returns (predictions dict, boxes path, predictions path).
     """
@@ -74,10 +79,22 @@ def make_predictions(engine: GPVEngine, dataset, task: str,
         items = [dataset.get(i, rng) for i in idxs]
         images = np.stack([it["image"] for it in items])
         queries = [it["query"] for it in items]
-        outs = engine.predict(images, queries, vocab_mask)
+        if beam_size and beam_size > 1:
+            bouts = engine.predict_beam(images, queries, beam_size,
+                                        vocab_mask)
+            outs = [{"answer": b["answers"][0],
+                     "answer_probs": b["answer_probs"],
+                     "all_answers": b["answers"],
+                     "boxes": b["boxes"], "relevance": b["relevance"]}
+                    for b in bouts]
+        else:
+            outs = engine.predict(images, queries, vocab_mask)
         for it, out in zip(items, outs):
             sample_id = it["sample"][id_field]
             predictions[sample_id] = {"answer": out["answer"]}
+            if "all_answers" in out:
+                predictions[sample_id]["answers"] = out["all_answers"]
+                predictions[sample_id]["answer_probs"] = out["answer_probs"]
             grp = boxes_h5.create_group(str(sample_id))
             grp.create_dataset("boxes", data=out["boxes"])
             grp.create_dataset("relevance", data=out["relevance"])
