@@ -78,16 +78,15 @@ def main():
     # overlapping the host round-trip with device compute (the tunnel to
     # this chip has a ~30 ms synchronous round-trip floor; a serving loop
     # double-buffers exactly like this). Every result is still fetched.
-    from collections import deque
+    import concurrent.futures as cf
     t0 = time.perf_counter()
-    pending = deque()
-    for _ in range(N_ITERS):
-        tokens, _, _ = infer(variables, images, query_ids, query_valid)
-        pending.append(tokens)
-        if len(pending) > PIPELINE_DEPTH:
-            np.asarray(pending.popleft())
-    while pending:
-        np.asarray(pending.popleft())
+    with cf.ThreadPoolExecutor(PIPELINE_DEPTH) as pool:
+        fetches = []
+        for _ in range(N_ITERS):
+            tokens, _, _ = infer(variables, images, query_ids, query_valid)
+            fetches.append(pool.submit(np.asarray, tokens))
+        for f in fetches:
+            f.result()
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH * N_ITERS / dt

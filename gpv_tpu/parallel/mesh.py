@@ -45,6 +45,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict on device, sharded along axis 0."""
+    """Place a host batch dict on device, sharded along axis 0.
+
+    Single-device meshes use a plain device_put (matching the plain-jit
+    train step path — see parallel/train_step.py).
+    """
+    if mesh.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+        return jax.tree.map(lambda x: jax.device_put(x, dev), batch)
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -75,7 +75,11 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
                                   opt_state=opt_state)
         return new_state, losses
 
-    if mesh is None:
+    # Single-device meshes take the plain jit path: semantics are identical
+    # and some single-chip environments (e.g. the axon relay used for dev)
+    # run sharded executables ~40x slower. Real multi-chip meshes use
+    # explicit shardings so XLA partitions and emits the ICI collectives.
+    if mesh is None or mesh.size == 1:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     repl = replicated(mesh)
