@@ -53,6 +53,11 @@ def main():
     answer_ids = jnp.zeros((BATCH, MAX_TEXT_LEN), jnp.int32)
 
     variables = model.init(rng, images, query_ids, answer_ids, train=False)
+    # serving-path weight folding: conv kernels absorb the frozen-BN scale
+    from gpv_tpu.ops.fold_bn import fold_frozen_bn
+    p, s = fold_frozen_bn(variables["params"], variables["batch_stats"])
+    variables = {"params": jax.tree.map(jnp.asarray, p),
+                 "batch_stats": jax.tree.map(jnp.asarray, s)}
 
     cls_id = VOCAB - 3
 

@@ -29,8 +29,10 @@ from .text.wordpiece import WordPieceTokenizer
 
 class GPVEngine:
     def __init__(self, model: GPV, variables, vocab: AnswerVocab,
-                 tokenizer: WordPieceTokenizer, max_query_len: int = 20):
+                 tokenizer: WordPieceTokenizer, max_query_len: int = 20,
+                 fold_bn: bool = True):
         self.model = model
+        self.fold_bn = fold_bn
         self.variables = variables
         self.vocab = vocab
         self.tokenizer = tokenizer
@@ -38,6 +40,17 @@ class GPVEngine:
         self._greedy = jax.jit(self._greedy_fn)
         self._beam = jax.jit(self._beam_fn,
                              static_argnames=("beam_size",))
+
+    def __setattr__(self, name, value):
+        # serving-path weight folding (see ops/fold_bn.py) applied whenever
+        # fresh variables are installed
+        if name == "variables" and value is not None and \
+                getattr(self, "fold_bn", False) and "batch_stats" in value \
+                and value["batch_stats"]:
+            from .ops.fold_bn import fold_frozen_bn
+            p, s = fold_frozen_bn(value["params"], value["batch_stats"])
+            value = {"params": p, "batch_stats": s}
+        object.__setattr__(self, name, value)
 
     @classmethod
     def from_config(cls, model_cfg, vocab: AnswerVocab,

@@ -77,7 +77,8 @@ class Trainer:
         self.collator = Collator(
             self.vocab, self.tokenizer,
             max_text_len=int(cfg.model.max_text_len),
-            max_target_boxes=int(cfg.model.get("max_target_boxes", 64)))
+            max_target_boxes=int(cfg.model.get("max_target_boxes", 64)),
+            answering_type=str(cfg.model.answering_type))
         batch_size = int(cfg.training.batch_size)
         self.loaders = {
             s: DataLoader(d, self.collator, batch_size,

@@ -111,6 +111,27 @@ class TestTrainStep:
                 first = float(losses["total_loss"])
         assert float(losses["total_loss"]) < first
 
+    def test_aux_loss_training(self):
+        """aux_loss=True: per-layer localization losses flow and train."""
+        mesh = make_mesh(data=8)
+        batch = make_batch(B=8)
+        model = tiny_gpv(detr_cfg=dict(
+            num_queries=10, num_classes=1, hidden_dim=32, nheads=4,
+            num_encoder_layers=2, num_decoder_layers=2, dim_feedforward=64,
+            dropout=0.0, aux_loss=True, last_layer_only=False))
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+            jnp.asarray(batch["query_ids"]),
+            jnp.asarray(batch["answer_ids"]), train=True)
+        optimizer = build_optimizer(training_cfg(), 10, variables["params"])
+        state = create_train_state(variables, optimizer)
+        step = make_train_step(model, optimizer, LossConfig(), 0.1,
+                               mesh=mesh, donate=False)
+        sharded = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+        state, losses = step(state, sharded, jax.random.PRNGKey(1))
+        assert "loss_ce_0" in losses and np.isfinite(float(losses["loss_ce_0"]))
+        assert np.isfinite(float(losses["total_loss"]))
+
     def test_remat_model_trains(self):
         """remat=True model: one step runs, loss finite, close to no-remat."""
         mesh = make_mesh(data=8)
