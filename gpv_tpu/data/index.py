@@ -5,9 +5,7 @@ across tasks) and `data/data_stats.py:5` (per-split sample counts).
 """
 from __future__ import annotations
 
-import json
-from collections import Counter, defaultdict
-from pathlib import Path
+from collections import defaultdict
 from typing import Dict, List
 
 

@@ -12,7 +12,6 @@ Output contract matches `inference.py:24-47`: `answer: str`,
 """
 from __future__ import annotations
 
-import functools
 from typing import List, Optional
 
 import numpy as np

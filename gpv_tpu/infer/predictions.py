@@ -15,7 +15,6 @@ from typing import Optional
 
 import numpy as np
 
-from ..datasets.coco import DATASET_CLASSES
 from ..engine import GPVEngine
 from ..evaluation.evaluators import EVALUATOR_CLASSES, TASK_TO_ID_FIELD
 from ..text.treebank import word_tokenize

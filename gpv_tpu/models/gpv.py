@@ -33,7 +33,7 @@ from ..nn.bert import BertEncoder
 from ..nn.coattention import CoAttentionLayer
 from ..nn.text_decoder import TextDecoder
 from ..ops.posenc import sine_position_encoding_1d
-from .detr import DETR, detr_from_config
+from .detr import DETR
 
 
 class GPV(nn.Module):

@@ -21,7 +21,9 @@ def _source_hash() -> str:
 
 
 def build_native(force: bool = False) -> Path:
-    so_path = _DIR / f"_gpv_native_{_source_hash()}.so"
+    build_dir = _DIR / "_build"  # not a package: keeps pkgutil walks clean
+    build_dir.mkdir(exist_ok=True)
+    so_path = build_dir / f"gpv_native_{_source_hash()}.so"
     if so_path.exists() and not force:
         return so_path
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",

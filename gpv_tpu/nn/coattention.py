@@ -16,8 +16,6 @@ math is symmetric). Here streams are named plainly: stream1/stream2 with
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -9,8 +9,6 @@ final LayerNorm. Batch-first (B, T, D) layout throughout (the reference's
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -13,8 +13,6 @@ sampling path uses `precompute_memory` (cross-attention K/V computed once) +
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

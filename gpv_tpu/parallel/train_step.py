@@ -10,8 +10,7 @@ step (see ops/matcher.py) — the reference's per-step scipy host sync is gone.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

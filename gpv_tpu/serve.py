@@ -1,0 +1,88 @@
+"""GPVServer: asynchronous batching inference server.
+
+Production-serving runtime around `GPVEngine` (the reference has no serving
+story beyond one-off CLIs): requests are queued, coalesced into fixed-size
+batches (static XLA shapes; partial batches pad by repetition), executed on
+the jitted engine by a pool of worker threads (>=2 keeps one batch in
+flight while another fetches — the double-buffering that hits the device
+compute bound, see bench.py), and resolved through futures.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import List, Optional
+
+import numpy as np
+
+
+class GPVServer:
+    def __init__(self, engine, batch_size: int = 20,
+                 max_wait_ms: float = 5.0, num_workers: int = 2):
+        self.engine = engine
+        self.batch_size = batch_size
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = threading.Event()
+        self._workers = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(max(1, num_workers))]
+        for w in self._workers:
+            w.start()
+
+    def submit(self, image_uint8: np.ndarray, query: str,
+               vocab_mask: Optional[np.ndarray] = None) -> Future:
+        """Enqueue one request; resolves to {answer, boxes, relevance}."""
+        if self._closed.is_set():
+            raise RuntimeError("server closed")
+        fut: Future = Future()
+        self._q.put((image_uint8, query, vocab_mask, fut))
+        return fut
+
+    def _collect(self):
+        """Block for one request, then coalesce up to batch_size."""
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return None
+        items = [first]
+        deadline = None
+        import time
+        deadline = time.monotonic() + self.max_wait_s
+        while len(items) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _worker(self):
+        while not self._closed.is_set():
+            items = self._collect()
+            if not items:
+                continue
+            n = len(items)
+            images = [it[0] for it in items]
+            queries = [it[1] for it in items]
+            mask = items[0][2]
+            # pad to the static batch size by repeating the last request
+            while len(images) < self.batch_size:
+                images.append(images[-1])
+                queries.append(queries[-1])
+            try:
+                outs = self.engine.predict(np.stack(images), queries, mask)
+                for (_, _, _, fut), out in zip(items, outs[:n]):
+                    fut.set_result(out)
+            except Exception as e:
+                for _, _, _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def close(self):
+        self._closed.set()
+        for w in self._workers:
+            w.join(timeout=1.0)

@@ -13,9 +13,8 @@ torch->flax converter that understands the reference's parameter naming
 """
 from __future__ import annotations
 
-import re
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

@@ -13,7 +13,6 @@ schema of `configs/exp/gpv.yaml` as public surface.
 """
 from __future__ import annotations
 
-import copy
 import re
 from pathlib import Path
 from typing import Any

@@ -11,8 +11,6 @@ Usage:
 """
 import sys
 
-import numpy as np
-
 
 def main(argv=None):
     from gpv_tpu.datasets.coco import load_image, resize_uint8

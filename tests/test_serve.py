@@ -1,0 +1,53 @@
+"""Batching server tests on the tiny engine."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpv_tpu.engine import GPVEngine
+from gpv_tpu.serve import GPVServer
+from gpv_tpu.text.vocab import AnswerVocab
+from gpv_tpu.text.wordpiece import WordPieceTokenizer
+
+from test_model import tiny_gpv, VOCAB
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = tiny_gpv()
+    vocab = AnswerVocab.debug(size=VOCAB)
+    eng = GPVEngine(model, None, vocab, WordPieceTokenizer.debug())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 48, 64, 3)),
+                           jnp.zeros((1, 4), jnp.int32),
+                           jnp.zeros((1, 4), jnp.int32), train=False)
+    eng.variables = variables
+    return eng
+
+
+class TestServer:
+    def test_all_requests_resolve_and_match_direct(self, engine):
+        rng = np.random.RandomState(0)
+        images = [rng.randint(0, 255, (48, 64, 3), np.uint8)
+                  for _ in range(9)]
+        queries = [f"what is {i}?" for i in range(9)]
+
+        server = GPVServer(engine, batch_size=4, max_wait_ms=50,
+                           num_workers=1)
+        futs = [server.submit(im, q) for im, q in zip(images, queries)]
+        results = [f.result(timeout=120) for f in futs]
+        server.close()
+
+        # compare against direct single-request predictions
+        for im, q, got in zip(images, queries, results):
+            ref = engine.predict(im[None], [q])[0]
+            assert got["answer"] == ref["answer"]
+            np.testing.assert_allclose(got["boxes"], ref["boxes"],
+                                       atol=2e-2)
+
+    def test_closed_server_rejects(self, engine):
+        server = GPVServer(engine, batch_size=2, num_workers=1)
+        server.close()
+        with pytest.raises(RuntimeError):
+            server.submit(np.zeros((48, 64, 3), np.uint8), "q")
