@@ -40,13 +40,19 @@ def create_train_state(variables, optimizer) -> TrainState:
 
 def make_train_step(model, optimizer, loss_cfg: LossConfig,
                     clip_max_norm: float = 0.1,
-                    mesh=None, donate: bool = True) -> Callable:
+                    mesh=None, donate: bool = True,
+                    state_template=None) -> Callable:
     """Build the jitted train step.
 
     batch dict fields (all static shapes, leading dim = global batch):
       image (B,H,W,3) fp32 normalized; query_ids (B,Tq) + query_valid (B,Tq);
       answer_ids (B,S); answer_lens (B,); task_id (B,); has_answer (B,);
       boxes (B,M,4); box_labels (B,M); box_valid (B,M); has_boxes (B,).
+
+    With a mesh whose `model` axis > 1 and a `state_template` (a TrainState,
+    used only for structure/shapes), parameters get Megatron-style tensor-
+    parallel shardings from `sharding_rules.py`; the batch stays sharded on
+    the data axis and GSPMD inserts the TP collectives.
     """
 
     def step_fn(state: TrainState, batch, rng):
@@ -83,6 +89,25 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
 
     repl = replicated(mesh)
     data = batch_sharding(mesh)
+
+    from .mesh import MODEL_AXIS
+    tp = mesh.shape.get(MODEL_AXIS, 1) > 1 and state_template is not None
+    if tp:
+        from .sharding_rules import make_param_shardings
+        param_sh = make_param_shardings(mesh, state_template.params)
+        state_sh = TrainState(
+            step=repl,
+            params=param_sh,
+            batch_stats=jax.tree.map(lambda _: repl,
+                                     state_template.batch_stats),
+            opt_state=jax.tree.map(lambda _: repl,
+                                   state_template.opt_state))
+        return jax.jit(
+            step_fn,
+            in_shardings=(state_sh, data, repl),
+            out_shardings=(state_sh, repl),
+            donate_argnums=(0,) if donate else ())
+
     return jax.jit(
         step_fn,
         in_shardings=(repl, data, repl),

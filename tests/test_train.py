@@ -111,6 +111,48 @@ class TestTrainStep:
                 first = float(losses["total_loss"])
         assert float(losses["total_loss"]) < first
 
+    def test_tensor_parallel_mesh(self):
+        """(data=4, model=2) mesh: TP param shardings compile, execute, and
+        match the pure-DP loss."""
+        from gpv_tpu.parallel import make_param_shardings
+        from jax.sharding import PartitionSpec as P
+
+        batch = make_batch(B=8)
+        model = tiny_gpv()
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+            jnp.asarray(batch["query_ids"]),
+            jnp.asarray(batch["answer_ids"]), train=False)
+        optimizer = build_optimizer(training_cfg(), 10, variables["params"])
+
+        def run(mesh_kw):
+            mesh = make_mesh(**mesh_kw)
+            state = create_train_state(variables, optimizer)
+            step = make_train_step(model, optimizer, LossConfig(), 0.1,
+                                   mesh=mesh, donate=False,
+                                   state_template=state)
+            sharded = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            _, losses = step(state, sharded, jax.random.PRNGKey(1))
+            return float(losses["total_loss"])
+
+        dp = run(dict(data=8, model=1))
+        tp = run(dict(data=4, model=2))
+        assert np.isfinite(tp)
+        np.testing.assert_allclose(tp, dp, rtol=1e-4)
+
+    def test_partition_specs(self):
+        from gpv_tpu.parallel import param_partition_spec
+        from jax.sharding import PartitionSpec as P
+        import types
+        leaf2d = types.SimpleNamespace(shape=(32, 64), ndim=2)
+        assert param_partition_spec(("x", "q_proj", "kernel"), leaf2d) == \
+            P(None, "model")
+        assert param_partition_spec(("x", "out_proj", "kernel"), leaf2d) == \
+            P("model", None)
+        assert param_partition_spec(("x", "norm1", "scale"),
+                                    types.SimpleNamespace(shape=(32,),
+                                                          ndim=1)) == P()
+
     def test_aux_loss_training(self):
         """aux_loss=True: per-layer localization losses flow and train."""
         mesh = make_mesh(data=8)
