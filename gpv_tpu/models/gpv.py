@@ -57,6 +57,7 @@ class GPV(nn.Module):
     bert_hidden: int = 768
     bert_heads: int = 12
     bert_vocab_size: int = 30522
+    bert_max_len: int = 512
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -72,6 +73,7 @@ class GPV(nn.Module):
                                 heads=self.bert_heads,
                                 intermediate=4 * self.bert_hidden,
                                 vocab_size=self.bert_vocab_size,
+                                max_len=self.bert_max_len,
                                 dtype=self.dtype)
         self.bert_joiner = nn.Dense(self.hidden_dim, dtype=self.dtype)
         CoAtt = nn.remat(CoAttentionLayer) if self.remat \

@@ -220,16 +220,22 @@ def convert_bert_torch(sd: Dict[str, np.ndarray],
 
 
 def convert_gpv_torch(sd: Dict[str, np.ndarray], num_co_att: int = 3,
-                      text_dec_layers: int = 3, hidden: int = 768):
+                      text_dec_layers: int = 3, hidden: int = 768,
+                      detr_layers=(3, 4, 6, 3), detr_dim: int = 256,
+                      detr_enc: int = 6, detr_dec: int = 6,
+                      bert_layers: int = 12):
     """Full reference GPV torch state dict -> {'params':…, 'batch_stats':…}
     matching `gpv_tpu.models.gpv.GPV`."""
     sd = _strip_prefix(sd)
-    params, stats = convert_detr_torch(sd)
+    params, stats = convert_detr_torch(
+        sd, num_decoder_layers=detr_dec, num_encoder_layers=detr_enc,
+        layers=detr_layers, dim=detr_dim)
     tree = {"detr": params}
     stats_tree = {"detr": stats}
 
     _linear(tree, ["detr_joiner"], sd, "detr_joiner")
-    tree["bert"] = convert_bert_torch(sd)
+    tree["bert"] = convert_bert_torch(sd, num_layers=bert_layers,
+                                      dim=hidden)
     _linear(tree, ["bert_joiner"], sd, "bert_joiner")
 
     for i in range(num_co_att):
