@@ -76,8 +76,9 @@ class GPV(nn.Module):
                                 max_len=self.bert_max_len,
                                 dtype=self.dtype)
         self.bert_joiner = nn.Dense(self.hidden_dim, dtype=self.dtype)
-        CoAtt = nn.remat(CoAttentionLayer) if self.remat \
-            else CoAttentionLayer
+        # static_argnums counts the module at 0; `deterministic` is arg 5
+        CoAtt = nn.remat(CoAttentionLayer, static_argnums=(5,)) \
+            if self.remat else CoAttentionLayer
         self.co_att = [
             CoAtt(self.hidden_dim, self.co_att_heads,
                   self.co_att_intermediate, self.dropout,
@@ -131,8 +132,8 @@ class GPV(nn.Module):
         lv_hs = self.bert_joiner(query_enc)  # (B, Tl, 768)
 
         for layer in self.co_att:
-            lv_hs, vl_hs = layer(lv_hs, vl_hs, valid1=query_valid,
-                                 valid2=None, deterministic=not train)
+            # positional call: remat static_argnums indexes positionally
+            lv_hs, vl_hs = layer(lv_hs, vl_hs, query_valid, None, not train)
 
         relevance_logits = self.relevance_predictor(vl_hs)  # (B,Q,K+1)
         outputs["pred_relevance_logits"] = (

@@ -83,8 +83,12 @@ class DetrTransformer(nn.Module):
                  deterministic=True):
         """src/pos: (B, HW, D); query_embed: (Q, D); key_valid: (B, HW) bool."""
         B = src.shape[0]
-        Enc = nn.remat(EncoderLayer) if self.remat else EncoderLayer
-        Dec = nn.remat(DecoderLayer) if self.remat else DecoderLayer
+        # static_argnums include the module at index 0; `deterministic`
+        # must stay a Python bool through remat (Dropout branches on it)
+        Enc = nn.remat(EncoderLayer, static_argnums=(4,)) if self.remat \
+            else EncoderLayer
+        Dec = nn.remat(DecoderLayer, static_argnums=(6,)) if self.remat \
+            else DecoderLayer
         memory = src
         for i in range(self.num_encoder_layers):
             memory = Enc(self.dim, self.num_heads, self.ffn_dim,
