@@ -180,7 +180,10 @@ class TestTrainStep:
         batch = make_batch(B=8)
 
         def run(remat):
-            model = tiny_gpv(remat=remat)
+            # dropout>0 covers the static-deterministic remat path (dropout
+            # is still inactive here because the step uses train=True with
+            # fold_in rng; losses compare only between remat settings)
+            model = tiny_gpv(remat=remat, dropout=0.1)
             variables = model.init(
                 jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
                 jnp.asarray(batch["query_ids"]),
