@@ -18,3 +18,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: re-runs of the suite skip the expensive CPU
+# compiles (matcher while_loops, tiny-GPV graphs)
+jax.config.update("jax_compilation_cache_dir", "/tmp/gpv_tpu_test_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
