@@ -187,6 +187,19 @@ class TestTrainerE2E:
         assert int(t2.state.step) == t1.step
         t2.train()  # continues from epoch last_epoch+1 without error
 
+    def test_finetune_mode_refcocop(self, data_dir, tmp_path):
+        """finetune_distr semantics: refcocop data, selection = refexp mAP,
+        eval_every gating."""
+        cfg = tiny_cfg(data_dir, tmp_path,
+                       extra=["learning_datasets=refcocop",
+                              "training.eval_every=5",
+                              "exp_name=ft"])
+        from gpv_tpu.train.trainer import Trainer
+        trainer = Trainer(cfg, finetune=True)
+        results = trainer.train()
+        assert "refexp_map" in results
+        assert results["model_selection_metric"] == results["refexp_map"]
+
     def test_compute_predictions_pipeline(self, data_dir, tmp_path):
         cfg = tiny_cfg(data_dir, tmp_path)
         from gpv_tpu.datasets.coco import CocoVqa
