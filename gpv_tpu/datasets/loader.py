@@ -122,6 +122,16 @@ class DataLoader:
             items = [self.dataset.get(int(i), rng) for i in idxs]
             return self.collator(items)
 
+        def put(item) -> bool:
+            """Queue-put that gives up if the consumer went away."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 import concurrent.futures as cf
@@ -129,15 +139,17 @@ class DataLoader:
                     futures = [pool.submit(load_batch, bi, idxs)
                                for bi, idxs in enumerate(batches)]
                     for f in futures:
-                        if stop.is_set():
+                        if stop.is_set() or not put(("ok", f.result())):
                             for g in futures:
                                 g.cancel()
                             break
-                        out_q.put(("ok", f.result()))
             except Exception as e:  # surfaces in the consumer
-                out_q.put(("err", e))
+                put(("err", e))
             finally:
-                out_q.put(("done", None))
+                try:
+                    out_q.put(("done", None), timeout=0.2)
+                except queue.Full:
+                    pass
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
