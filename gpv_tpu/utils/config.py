@@ -195,23 +195,23 @@ def load_config(config_dir: str | Path, config_name: str,
         else:
             group, name = None, entry
         if group is None:
-            sub, package = _load_yaml(config_dir / f"{name}.yaml")
+            # plain entry: compose the referenced config recursively (its
+            # own defaults list applies first), hydra-style
+            sub = load_config(config_dir, name, overrides=None,
+                              resolve=False)
             cfg = _merge(cfg, sub)
             continue
         name = group_overrides.get(group, name)
         sub, package = _load_yaml(config_dir / group / f"{name}.yaml")
         if package in (None, "_group_"):
-            target = group
+            # group choice REPLACES any earlier selection (hydra semantics)
+            cfg.set_path(group, sub)
         elif package == "_global_":
-            target = None
-        else:
-            target = package
-        if target is None:
             cfg = _merge(cfg, sub)
         else:
-            node = cfg.get_path(target)
+            node = cfg.get_path(package)
             merged = _merge(node, sub) if isinstance(node, dict) else sub
-            cfg.set_path(target, merged)
+            cfg.set_path(package, merged)
 
     cfg = _merge(cfg, primary)
     for k, v in value_overrides:

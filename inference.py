@@ -33,6 +33,10 @@ def build_engine(cfg):
     if ckpt:
         import jax
         from pathlib import Path
+        if not Path(str(ckpt)).exists():
+            raise FileNotFoundError(
+                f"checkpoint not found: {ckpt} (pass ckpt=<path to an orbax "
+                "dir or reference model.pth>, or ckpt=null for random init)")
         if str(ckpt).endswith(".pth"):
             from gpv_tpu.train.checkpoint import (convert_gpv_torch,
                                                   load_torch_state_dict)
@@ -52,7 +56,7 @@ def main(argv=None):
     from gpv_tpu.utils.config import load_config
 
     overrides = list(argv if argv is not None else sys.argv[1:])
-    cfg = load_config("configs", "exp/gpv", overrides)
+    cfg = load_config("configs", "exp/gpv_inference", overrides)
     engine = build_engine(cfg)
 
     img = load_image(cfg.image_path)  # native H x W (no resize)

@@ -18,7 +18,7 @@ def main(argv=None):
     from inference import build_engine
 
     overrides = list(argv if argv is not None else sys.argv[1:])
-    cfg = load_config("configs", "exp/gpv", overrides)
+    cfg = load_config("configs", "exp/gpv_inference", overrides)
     engine = build_engine(cfg)
 
     img = load_image(cfg.image_path)
