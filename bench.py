@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 # cache compiled executables across bench runs (remote compile is slow)
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/gpv_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 # Estimated reference images/sec (PyTorch, 1x24GB GPU, eval batch 20).

@@ -54,15 +54,19 @@ class GPVEngine:
     @classmethod
     def from_config(cls, model_cfg, vocab: AnswerVocab,
                     tokenizer: WordPieceTokenizer, variables=None,
-                    dtype=jnp.bfloat16, seed: int = 0):
+                    dtype=jnp.bfloat16, seed: int = 0,
+                    max_query_len: int = 20):
         model = build_gpv(model_cfg, vocab_size=len(vocab), dtype=dtype)
+        # queries can never exceed the BERT position table
+        max_query_len = min(max_query_len, model.bert_max_len)
         if variables is None:
             rng = jax.random.PRNGKey(seed)
             imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
             qids = jnp.zeros((1, 4), jnp.int32)
             aids = jnp.zeros((1, 4), jnp.int32)
             variables = model.init(rng, imgs, qids, aids, train=False)
-        return cls(model, variables, vocab, tokenizer)
+        return cls(model, variables, vocab, tokenizer,
+                   max_query_len=max_query_len)
 
     # ---- jitted cores ----
 

@@ -285,5 +285,6 @@ def build_gpv(cfg, vocab_size: int, dtype=jnp.float32,
         bert_hidden=int(bert_cfg.get("hidden", 768)),
         bert_heads=int(bert_cfg.get("heads", 12)),
         bert_vocab_size=int(bert_cfg.get("vocab_size", 30522)),
+        bert_max_len=int(bert_cfg.get("max_len", 512)),
         remat=remat,
         dtype=dtype)
