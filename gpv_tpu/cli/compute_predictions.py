@@ -39,11 +39,20 @@ def main(argv=None):
 
     eval_dir = Path(cfg.exp_dir) / "eval"
     data_split = cfg.task_configs.data_split
-    beam_size = cfg.eval.get("beam_size")
-    predictions, boxes_path, _ = make_predictions(
-        engine, dataset, task, int(cfg.eval.batch_size), eval_dir, subset,
-        data_split, cfg.eval.get("num_eval_batches"),
-        beam_size=int(beam_size) if beam_size else None)
+    if cfg.eval.get("predict", True):
+        beam_size = cfg.eval.get("beam_size")
+        predictions, boxes_path, _ = make_predictions(
+            engine, dataset, task, int(cfg.eval.batch_size), eval_dir,
+            subset, data_split, cfg.eval.get("num_eval_batches"),
+            beam_size=int(beam_size) if beam_size else None)
+    else:
+        # re-evaluate previously written predictions (reference
+        # compute_predictions honors eval.predict=False the same way)
+        import json
+        pred_path = (eval_dir
+                     / f"{task}_{data_split}_{subset}_predictions.json")
+        predictions = json.loads(pred_path.read_text())
+        boxes_path = eval_dir / f"{task}_{subset}_boxes.h5py"
 
     metrics = evaluate_predictions(
         task, dataset.samples, predictions, boxes_path, eval_dir, subset,

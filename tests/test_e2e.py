@@ -222,3 +222,15 @@ class TestTrainerE2E:
                                        boxes_path, eval_dir, "val")
         assert "everything" in metrics
         assert "accuracy" in metrics["everything"]
+
+        # beam-search eval path (BASELINE config #4): top beam scored,
+        # all K answers + probs recorded
+        preds_b, _, _ = make_predictions(
+            engine, ds, "CocoVqa", 4, tmp_path / "eval_beam", "val",
+            beam_size=3)
+        any_pred = next(iter(preds_b.values()))
+        assert len(any_pred["answers"]) == 3
+        assert any_pred["answer"] == any_pred["answers"][0]
+        probs = any_pred["answer_probs"]
+        assert all(probs[i] >= probs[i + 1] - 1e-6
+                   for i in range(len(probs) - 1))
