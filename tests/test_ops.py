@@ -182,6 +182,31 @@ class TestMatcher:
             got_cost = c[np.arange(m), col].sum()
             np.testing.assert_allclose(got_cost, ref_cost, rtol=1e-5, atol=1e-4)
 
+    def test_lsap_adversarial_cases(self):
+        """Ties, identical rows/cols, extreme scales — cost must still be
+        optimal and the assignment a matching."""
+        from scipy.optimize import linear_sum_assignment
+        cases = [
+            np.zeros((5, 8), np.float32),                    # all ties
+            np.ones((4, 100), np.float32) * 7.5,             # constant
+            np.tile(np.arange(100, dtype=np.float32), (6, 1)),  # equal rows
+            np.tile(np.arange(6, dtype=np.float32)[:, None], (1, 100)),
+            np.asarray([[1e6, -1e6, 0.0] * 34 + [0.0, 0.0]] * 3,
+                       np.float32),
+        ]
+        rng = np.random.RandomState(7)
+        c = rng.randn(10, 50).astype(np.float32)
+        c[:, :10] = c[:, 10:20]  # duplicated column blocks
+        cases.append(c)
+        for i, c in enumerate(cases):
+            col = np.asarray(solve_lsap(jnp.asarray(c)))
+            m = c.shape[0]
+            assert len(np.unique(col)) == m, f"case {i}: not a matching"
+            ri, ci = linear_sum_assignment(c)
+            np.testing.assert_allclose(
+                c[np.arange(m), col].sum(), c[ri, ci].sum(),
+                rtol=1e-5, atol=1e-3, err_msg=f"case {i}")
+
     def test_hungarian_match_with_padding(self):
         from scipy.optimize import linear_sum_assignment
         rng = np.random.RandomState(1)
