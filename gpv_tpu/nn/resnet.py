@@ -53,12 +53,36 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class Stage(nn.Module):
+    """One ResNet stage (sequence of bottlenecks). Kept as a submodule so
+    rematerialization can operate at STAGE granularity: per-bottleneck remat
+    barely helps (the block-INPUT activations dominate memory), while
+    checkpointing whole stages stores only 4 stage inputs."""
+    n_blocks: int
+    planes: int
+    stride: int
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for b in range(self.n_blocks):
+            x = Bottleneck(
+                planes=self.planes,
+                stride=self.stride if b == 0 else 1,
+                downsample=(b == 0),
+                dilation=self.dilation,
+                dtype=self.dtype,
+                name=f"block{b}")(x)
+        return x
+
+
 class ResNet(nn.Module):
     """ResNet-50/101 trunk returning {layer_name: feature} NHWC maps."""
     layers: Sequence[int] = (3, 4, 6, 3)  # resnet50
     return_layers: Sequence[str] = ("layer4",)
     dilate_c5: bool = False
-    remat: bool = False  # rematerialize bottleneck blocks under grad
+    remat: bool = False  # rematerialize whole stages under grad
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,21 +96,15 @@ class ResNet(nn.Module):
 
         outs = {}
         planes = (64, 128, 256, 512)
-        Block = nn.remat(Bottleneck) if self.remat else Bottleneck
+        StageT = nn.remat(Stage) if self.remat else Stage
         for stage_i, (n_blocks, p) in enumerate(zip(self.layers, planes)):
             name = f"layer{stage_i + 1}"
             stride = 1 if stage_i == 0 else 2
             dilation = 1
             if self.dilate_c5 and stage_i == 3:
                 stride, dilation = 1, 2
-            for b in range(n_blocks):
-                x = Block(
-                    planes=p,
-                    stride=stride if b == 0 else 1,
-                    downsample=(b == 0),
-                    dilation=dilation,
-                    dtype=self.dtype,
-                    name=f"{name}_{b}")(x)
+            x = StageT(n_blocks=n_blocks, planes=p, stride=stride,
+                       dilation=dilation, dtype=self.dtype, name=name)(x)
             if name in self.return_layers:
                 outs[name] = x
         return outs

@@ -153,7 +153,8 @@ def convert_detr_torch(sd: Dict[str, np.ndarray], prefix: str = "detr.",
     for stage, n_blocks in enumerate(layers):
         for b in range(n_blocks):
             _resnet_bottleneck(params, stats,
-                               ["backbone", f"layer{stage + 1}_{b}"],
+                               ["backbone", f"layer{stage + 1}",
+                                f"block{b}"],
                                sd, f"{bb}layer{stage + 1}.{b}")
 
     _set(params, ["input_proj", "kernel"],
