@@ -65,8 +65,6 @@ class GPV(nn.Module):
         detr_kwargs = dict(self.detr_cfg or {})
         self.detr = DETR(roi_head=self.roi_head, remat=self.remat,
                          dtype=self.dtype, **detr_kwargs)
-        detr_out = 2048 + detr_kwargs.get("hidden_dim", 256) if self.roi_head \
-            else detr_kwargs.get("hidden_dim", 256)
         self.detr_joiner = nn.Dense(self.hidden_dim, dtype=self.dtype)
         self.bert = BertEncoder(num_layers=self.bert_layers,
                                 hidden=self.bert_hidden,
