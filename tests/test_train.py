@@ -140,6 +140,26 @@ class TestTrainStep:
         assert np.isfinite(tp)
         np.testing.assert_allclose(tp, dp, rtol=1e-4)
 
+    def test_tp_sharded_inference(self):
+        """shard_params-placed weights run inference on a (4,2) mesh and
+        match replicated outputs."""
+        from gpv_tpu.parallel import make_mesh, shard_params
+        model = tiny_gpv()
+        imgs = jnp.zeros((4, 48, 64, 3))
+        qids = jnp.zeros((4, 5), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), imgs, qids,
+                               jnp.zeros((4, 6), jnp.int32), train=False)
+        ref = model.apply(variables, imgs, qids, train=False)
+
+        mesh = make_mesh(data=4, model=2)
+        sharded_params = shard_params(variables["params"], mesh)
+        out = model.apply({"params": sharded_params,
+                           "batch_stats": variables["batch_stats"]},
+                          imgs, qids, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out["pred_boxes"], np.float32),
+            np.asarray(ref["pred_boxes"], np.float32), atol=1e-5)
+
     def test_partition_specs(self):
         from gpv_tpu.parallel import param_partition_spec
         from jax.sharding import PartitionSpec as P
