@@ -40,14 +40,27 @@ class GPVServer:
         self._q.put((image_uint8, query, vocab_mask, fut))
         return fut
 
+    @staticmethod
+    def _mask_key(mask) -> Optional[tuple]:
+        """Identity key for a vocab mask: requests may only share a batch
+        when their masks are byte-identical (engine.predict applies ONE mask
+        to the whole batch — mixing e.g. a classification mask with open VQA
+        would silently corrupt the open request's decode)."""
+        if mask is None:
+            return None
+        m = np.asarray(mask)
+        return (m.shape, m.dtype.str, m.tobytes())
+
     def _collect(self):
-        """Block for one request, then coalesce up to batch_size."""
+        """Block for one request, then coalesce up to batch_size requests
+        that share the same vocab mask; others are re-queued."""
         try:
             first = self._q.get(timeout=0.1)
         except queue.Empty:
             return None
         items = [first]
-        deadline = None
+        key = self._mask_key(first[2])
+        deferred = []
         import time
         deadline = time.monotonic() + self.max_wait_s
         while len(items) < self.batch_size:
@@ -55,9 +68,15 @@ class GPVServer:
             if remaining <= 0:
                 break
             try:
-                items.append(self._q.get(timeout=remaining))
+                it = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
+            if self._mask_key(it[2]) == key:
+                items.append(it)
+            else:
+                deferred.append(it)
+        for it in deferred:
+            self._q.put(it)
         return items
 
     def _worker(self):
