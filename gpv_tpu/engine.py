@@ -188,7 +188,7 @@ class GPVEngine:
         boxes, rel = np.asarray(boxes), np.asarray(rel)
         out = []
         for i in range(len(queries)):
-            answers = self.vocab.decode_ids(seqs[i])
+            answers = self.vocab.decode_beam_ids(seqs[i])
             out.append({"answers": answers,
                         "answer_probs": probs[i].tolist(),
                         "boxes": boxes[i], "relevance": rel[i]})

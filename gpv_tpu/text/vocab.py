@@ -99,6 +99,35 @@ class AnswerVocab:
             out.append(detokenize(words))
         return out
 
+    def decode_beam_ids(self, token_ids) -> list[str]:
+        """(B, S) beam ids -> strings, with the reference beam tail quirk.
+
+        Reference `beam_decode_text` zero-fills a `max_text_len`-slot seq
+        buffer but only generates `max_text_len - 1` tokens; its final
+        detokenization loop (`exp/gpv/models/gpv.py:316-327`) then reads one
+        slot past the last generated step, so a beam that never emitted
+        __stop__/__pad__ gets the phantom word `vocab[0]` appended (the
+        released vocab is `sorted()`, data/create_coco_vocab.py:47, so
+        index 0 is a real token, not a special). Reproduced here for
+        string-level parity; greedy decode has no such quirk.
+        """
+        out = []
+        for row in np.asarray(token_ids):
+            words = []
+            stopped = False
+            for tid in row:
+                w = self.words[int(tid)]
+                if w in (STOP, PAD):
+                    stopped = True
+                    break
+                if w == CLS:
+                    continue
+                words.append(w)
+            if not stopped:
+                words.append(self.words[0])
+            out.append(detokenize(words))
+        return out
+
     def token_ids_to_words(self, token_ids) -> list[list[str]]:
         return [[self.words[int(t)] for t in row]
                 for row in np.asarray(token_ids)]
