@@ -246,6 +246,16 @@ class GPV(nn.Module):
 def build_gpv(cfg, vocab_size: int, dtype=jnp.float32,
               remat: bool = False) -> GPV:
     """Build from the `model` config node (configs/exp/gpv.yaml schema)."""
+    if cfg.roi_head and not cfg.detr.last_layer_only:
+        # this combination crashes the reference in training:
+        # torch.cat((roi_features, hs), -1) with (1,B,Q,2048) vs (L,B,Q,256)
+        # (exp/gpv/models/detr_roi_head.py:81-92); reject it loudly instead
+        # of silently training different semantics (PARITY.md #1)
+        raise ValueError(
+            "model.roi_head=True with detr.last_layer_only=False is not a "
+            "trainable configuration (it crashes the reference at "
+            "detr_roi_head.py:90-92); set last_layer_only=True or "
+            "roi_head=False")
     detr_cfg = dict(
         num_queries=cfg.detr.num_queries,
         num_classes=cfg.detr.num_classes,

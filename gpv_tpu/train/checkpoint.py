@@ -287,21 +287,60 @@ def convert_gpv_torch(sd: Dict[str, np.ndarray], num_co_att: int = 3,
     return {"params": tree, "batch_stats": stats_tree}
 
 
+def _merge_matching(dst: dict, src: dict):
+    """Copy src entries into dst where name AND shape match (the reference's
+    shape-checked partial-load semantics, gpv.py:122-135)."""
+    for k, v in src.items():
+        if isinstance(v, dict):
+            if k in dst:
+                _merge_matching(dst[k], v)
+        elif k in dst and np.shape(dst[k]) == np.shape(v):
+            dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+
+
 def load_pretr_detr(variables: dict, torch_path: str | Path) -> dict:
     """DETR-only init (reference `GPV.load_pretr_detr`, gpv.py:122-135):
     copy matching detr.* entries by name+shape from a DETR torch ckpt."""
     sd = load_torch_state_dict(torch_path)
     params, stats = convert_detr_torch(sd, prefix="")
     out = jax.tree_util.tree_map(lambda x: x, variables)  # shallow-ish copy
+    _merge_matching(out["params"]["detr"], params)
+    _merge_matching(out.get("batch_stats", {}).get("detr", {}), stats)
+    return out
 
-    def merge(dst, src):
-        for k, v in src.items():
-            if isinstance(v, dict):
-                if k in dst:
-                    merge(dst[k], v)
-            elif k in dst and np.shape(dst[k]) == np.shape(v):
-                dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
 
-    merge(out["params"]["detr"], params)
-    merge(out.get("batch_stats", {}).get("detr", {}), stats)
+def convert_torchvision_resnet50(sd: Dict[str, np.ndarray],
+                                 layers=(3, 4, 6, 3)):
+    """Raw torchvision `resnet50().state_dict()` -> (params, batch_stats)
+    trees for the DETR `backbone` submodule.
+
+    Torchvision naming has NO `backbone.0.body.` prefix (`conv1.weight`,
+    `layer1.0.conv1.weight`, `layer1.0.downsample.{0,1}.*`); the `fc.*`
+    classifier head is ignored. BN statistics land in batch_stats exactly as
+    FrozenBatchNorm expects — the reference initializes its backbone from
+    torchvision ImageNet weights when no DETR checkpoint is given
+    (`exp/gpv/models/backbone.py:68`, pretrained=is_main_process())."""
+    params: dict = {}
+    stats: dict = {}
+    _set(params, ["conv1", "kernel"], _conv_kernel(sd["conv1.weight"]))
+    _frozen_bn(params, stats, ["bn1"], sd, "bn1")
+    for stage, n_blocks in enumerate(layers):
+        for b in range(n_blocks):
+            _resnet_bottleneck(params, stats,
+                               [f"layer{stage + 1}", f"block{b}"],
+                               sd, f"layer{stage + 1}.{b}")
+    return params, stats
+
+
+def load_imagenet_backbone(variables: dict, torch_path: str | Path) -> dict:
+    """Initialize ONLY the ResNet-50 backbone from a raw torchvision
+    ImageNet state dict — the from-scratch training recipe when
+    `model.pretr_detr` is absent (reference `backbone.py:68`)."""
+    sd = load_torch_state_dict(torch_path)
+    params, stats = convert_torchvision_resnet50(sd)
+    out = jax.tree_util.tree_map(lambda x: x, variables)
+    _merge_matching(out["params"]["detr"]["backbone"], params)
+    _merge_matching(
+        out.get("batch_stats", {}).get("detr", {}).get("backbone", {}),
+        stats)
     return out

@@ -59,3 +59,26 @@ class TestConfigEngine:
         d = to_dict(cfg)
         assert isinstance(d, dict)
         assert d["model"]["detr"]["nheads"] == 8
+
+
+class TestBuildGpvGuards:
+    def test_rejects_roi_head_with_all_decoder_layers(self):
+        """roi_head + last_layer_only=False crashes the reference in
+        training (detr_roi_head.py:90-92 torch.cat shape mismatch for
+        L>1); build_gpv must reject it at build time (PARITY.md #1)."""
+        from gpv_tpu.models.gpv import build_gpv
+
+        cfg = load_config("configs", "exp/gpv",
+                          ["model.detr.last_layer_only=False"])
+        with pytest.raises(ValueError, match="last_layer_only"):
+            build_gpv(cfg.model, vocab_size=50)
+
+    def test_accepts_all_layers_without_roi_head(self):
+        from gpv_tpu.models.gpv import build_gpv
+
+        cfg = load_config("configs", "exp/gpv",
+                          ["model.detr.last_layer_only=False",
+                           "model.roi_head=False",
+                           "model.detr.aux_loss=True"])
+        model = build_gpv(cfg.model, vocab_size=50)
+        assert model.detr_cfg["last_layer_only"] is False

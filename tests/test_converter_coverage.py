@@ -188,3 +188,109 @@ class TestConverterCoverage:
         assert set(want_s) == set(got_s)
         for k in want_s:
             assert tuple(want_s[k]) == tuple(got_s[k])
+
+
+# ---------------------------------------------------------------------------
+# torchvision ImageNet ResNet-50 (raw `resnet50().state_dict()` naming) —
+# the from-scratch recipe when no DETR checkpoint exists
+# ---------------------------------------------------------------------------
+
+def synth_torchvision_resnet50_state_dict():
+    """Raw torchvision resnet50 parameter names with the real shapes,
+    including the keys the converter must ignore (fc head,
+    num_batches_tracked)."""
+    sd = {}
+    rng = np.random.RandomState(1)
+
+    def add(name, *shape):
+        sd[name] = rng.randn(*shape).astype(np.float32) * 0.02
+
+    def add_bn(prefix, c):
+        add(f"{prefix}.weight", c)
+        add(f"{prefix}.bias", c)
+        sd[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_var"] = np.ones(c, np.float32)
+        sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    add("conv1.weight", 64, 3, 7, 7)
+    add_bn("bn1", 64)
+    in_c = 64
+    for lname, (blocks, planes, out_c) in RESNET.items():
+        for b in range(blocks):
+            p = f"{lname}.{b}"
+            add(f"{p}.conv1.weight", planes, in_c if b == 0 else out_c, 1, 1)
+            add_bn(f"{p}.bn1", planes)
+            add(f"{p}.conv2.weight", planes, planes, 3, 3)
+            add_bn(f"{p}.bn2", planes)
+            add(f"{p}.conv3.weight", out_c, planes, 1, 1)
+            add_bn(f"{p}.bn3", out_c)
+            if b == 0:
+                add(f"{p}.downsample.0.weight", out_c, in_c, 1, 1)
+                add_bn(f"{p}.downsample.1", out_c)
+        in_c = out_c
+    add("fc.weight", 1000, 2048)
+    add("fc.bias", 1000)
+    return sd
+
+
+class TestTorchvisionBackboneConverter:
+    def _variables(self):
+        detr_cfg = dict(num_queries=10, num_classes=1, hidden_dim=32,
+                        nheads=4, num_encoder_layers=1, num_decoder_layers=1,
+                        dim_feedforward=64, dropout=0.0)
+        model = GPV(vocab_size=V, hidden_dim=32, co_att_num_layers=1,
+                    co_att_heads=4, co_att_intermediate=64,
+                    text_decoder_layers=1, text_decoder_heads=4,
+                    detr_cfg=detr_cfg, bert_layers=1, bert_hidden=32,
+                    bert_heads=4, bert_vocab_size=50)
+        return model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 64, 64, 3)),
+                          jnp.zeros((1, 4), jnp.int32),
+                          jnp.zeros((1, 4), jnp.int32), train=False)
+
+    def test_structure_covers_flax_backbone_exactly(self):
+        from gpv_tpu.train.checkpoint import convert_torchvision_resnet50
+
+        params, stats = convert_torchvision_resnet50(
+            synth_torchvision_resnet50_state_dict())
+        variables = self._variables()
+        want_p = tree_spec(variables["params"]["detr"]["backbone"])
+        got_p = tree_spec(params)
+        assert set(want_p) == set(got_p), (
+            f"missing={sorted(set(want_p) - set(got_p))[:8]} "
+            f"extra={sorted(set(got_p) - set(want_p))[:8]}")
+        for k in want_p:
+            assert tuple(want_p[k]) == tuple(got_p[k]), k
+        want_s = tree_spec(variables["batch_stats"]["detr"]["backbone"])
+        got_s = tree_spec(stats)
+        assert set(want_s) == set(got_s)
+        for k in want_s:
+            assert tuple(want_s[k]) == tuple(got_s[k]), k
+
+    def test_load_imagenet_backbone_merges_only_backbone(self, tmp_path):
+        torch = pytest.importorskip("torch")
+
+        from gpv_tpu.train.checkpoint import load_imagenet_backbone
+
+        sd = synth_torchvision_resnet50_state_dict()
+        path = tmp_path / "resnet50.pth"
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+                   path)
+
+        variables = self._variables()
+        before_proj = np.asarray(
+            variables["params"]["detr"]["input_proj"]["kernel"]).copy()
+        out = load_imagenet_backbone(variables, path)
+
+        got = np.asarray(out["params"]["detr"]["backbone"]["conv1"]["kernel"])
+        want = np.transpose(sd["conv1.weight"], (2, 3, 1, 0))
+        np.testing.assert_array_equal(got, want)
+        got_var = np.asarray(
+            out["batch_stats"]["detr"]["backbone"]["layer3"]["block2"]
+               ["bn2"]["running_var"])
+        np.testing.assert_array_equal(got_var,
+                                      sd["layer3.2.bn2.running_var"])
+        # non-backbone params untouched
+        np.testing.assert_array_equal(
+            np.asarray(out["params"]["detr"]["input_proj"]["kernel"]),
+            before_proj)
