@@ -6,15 +6,19 @@ from pathlib import Path
 
 
 def main(argv=None):
-    args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
-    root = Path(args["data_dir"]) / "learning_phase_data"
-    split = args.get("split", "gpv_split")
     from gpv_tpu.data.index import create_image_index, data_stats
+    from gpv_tpu.utils.config import load_config
+
+    # configs/data/data_stats.yaml drives the dataset list + split
+    # (reference configs/data/data_stats.yaml schema)
+    cfg = load_config("configs", "data/data_stats",
+                      list(argv if argv is not None else sys.argv[1:]))
+    root = Path(cfg.data_dir) / "learning_phase_data"
+    split = cfg.split
 
     task_samples = {}
     per_subset = {}
-    for task in ("coco_captions", "coco_detection", "coco_classification",
-                 "coco_vqa", "refcocop"):
+    for task in cfg.datasets:
         d = root / task / split if task != "refcocop" else root / task
         if not d.exists():
             continue

@@ -14,33 +14,42 @@ from pathlib import Path
 
 
 def main(argv=None):
-    args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
-    data_dir = Path(args["data_dir"])
-    root = data_dir / "learning_phase_data"
-    seed = int(args.get("seed", 0))
-    train_frac = float(args.get("train_frac", 0.9))
-
     from gpv_tpu.data.preprocess import dump_samples
     from gpv_tpu.data.splits import (split_categories,
                                      split_data_by_categories, split_images)
     from gpv_tpu.evaluation import coco_synonyms
+    from gpv_tpu.utils.config import load_config
+
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    # config group drives the three reference stages
+    # (configs/data/split_coco_{categories,images}.yaml +
+    #  split_data_by_categories.yaml — reference configs/data/ schema)
+    cat_cfg = load_config("configs", "data/split_coco_categories", overrides)
+    img_cfg = load_config("configs", "data/split_coco_images", overrides)
+    split_cfg = load_config("configs", "data/split_data_by_categories",
+                            overrides)
+    root = Path(cat_cfg.data_dir) / "learning_phase_data"
+    seed = int(cat_cfg.seed)
+    train_frac = float(img_cfg.train_frac)
 
     inst = json.loads(
-        (root / "coco/annotations/instances_train2014.json").read_text())
+        (Path(cat_cfg.download_dir) / cat_cfg.instances["train"]).read_text())
     category_split = split_categories(inst["categories"], seed=seed)
-    (root / "coco_sce").mkdir(parents=True, exist_ok=True)
-    (root / "coco_sce/category_split.json").write_text(
-        json.dumps(category_split))
+    cat_path = Path(split_cfg.coco_category_split)
+    cat_path.parent.mkdir(parents=True, exist_ok=True)
+    cat_path.write_text(json.dumps(category_split))
 
     train_ids = [im["id"] for im in inst["images"]]
     img_splits = split_images(train_ids, "train", "train2014", train_frac,
-                              seed)
-    val_inst_path = root / "coco/annotations/instances_val2014.json"
+                              int(img_cfg.seed))
+    val_inst_path = Path(cat_cfg.download_dir) / cat_cfg.instances["val"]
     if val_inst_path.exists():
         val_ids = [im["id"]
                    for im in json.loads(val_inst_path.read_text())["images"]]
         img_splits.update(split_images(val_ids, "val", "val2014"))
-    (root / "coco_sce/image_splits.json").write_text(json.dumps(img_splits))
+    img_path = Path(split_cfg.split_coco_images)
+    img_path.parent.mkdir(parents=True, exist_ok=True)
+    img_path.write_text(json.dumps(img_splits))
 
     syn = coco_synonyms()
     task_to_name = {

@@ -1,63 +1,77 @@
 """Offline preprocessing CLI: raw downloads -> per-task sample JSONs + vocab.
 
-`python -m gpv_tpu.cli.preprocess data_dir=<dir> [subsets=train,val]`
+    python -m gpv_tpu.cli.preprocess data_dir=<dir> [subsets=[train,val]]
 
-Runs the reference's preprocess_* + create_coco_vocab steps
-(`setup_data.sh:1-20`) over the original_split; SCE splits are produced by
-`python -m gpv_tpu.cli.make_sce_split`.
+Driven by the `configs/data/preprocess_*.yaml` + `configs/data/coco_vocab.yaml`
+group (schema of the reference's `configs/data/` hydra group): each task
+config supplies its download_dir and annotation-file names; coco_vocab.yaml
+supplies min_count. Runs the reference's preprocess_* + create_coco_vocab
+steps (`setup_data.sh:1-20`) over the original_split; SCE splits are produced
+by `python -m gpv_tpu.cli.make_sce_split`.
 """
 import json
 import sys
 from pathlib import Path
 
 
-def main(argv=None):
-    args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
-    data_dir = Path(args["data_dir"])
-    root = data_dir / "learning_phase_data"
-    subsets = args.get("subsets", "train,val").split(",")
+def _subsets(cfg):
+    s = cfg.subsets
+    return s.split(",") if isinstance(s, str) else list(s)
 
+
+def main(argv=None):
     from gpv_tpu.data.preprocess import (dump_samples, preprocess_captions,
                                          preprocess_classification,
                                          preprocess_detection,
                                          preprocess_vqa)
+    from gpv_tpu.utils.config import load_config
 
-    coco_subset = {"train": "train2014", "val": "val2014"}
-    for subset in subsets:
-        cs = coco_subset.get(subset, subset)
-        inst_path = root / f"coco/annotations/instances_{cs}.json"
+    overrides = list(argv if argv is not None else sys.argv[1:])
+
+    def cfg_for(name):
+        return load_config("configs", f"data/{name}", overrides)
+
+    det_cfg = cfg_for("preprocess_coco_detection")
+    cls_cfg = cfg_for("preprocess_coco_classification")
+    cap_cfg = cfg_for("preprocess_coco_captions")
+    vqa_cfg = cfg_for("preprocess_vqa")
+    vocab_cfg = cfg_for("coco_vocab")
+    root = Path(det_cfg.data_dir) / "learning_phase_data"
+
+    for subset in _subsets(det_cfg):
+        inst_path = Path(det_cfg.download_dir) / det_cfg.instances[subset]
         if inst_path.exists():
             inst = json.loads(inst_path.read_text())
             dump_samples(preprocess_detection(inst),
-                         root / "coco_detection/original_split", subset)
+                         Path(det_cfg.exp_dir), subset)
             dump_samples(preprocess_classification(inst),
-                         root / "coco_classification/original_split", subset)
-        cap_path = root / f"coco/annotations/captions_{cs}.json"
+                         Path(cls_cfg.exp_dir), subset)
+        cap_path = Path(cap_cfg.download_dir) / cap_cfg.captions[subset]
         if cap_path.exists():
             caps = json.loads(cap_path.read_text())
             dump_samples(preprocess_captions(caps),
-                         root / "coco_captions/original_split", subset)
-        q_path = root / ("vqa/questions/"
-                         f"v2_OpenEnded_mscoco_{cs}_questions.json")
-        a_path = root / f"vqa/anno/v2_mscoco_{cs}_annotations.json"
+                         Path(cap_cfg.exp_dir), subset)
+        q_path = (Path(vqa_cfg.download_dir) / "questions"
+                  / vqa_cfg.questions[subset])
+        a_path = Path(vqa_cfg.download_dir) / "anno" / vqa_cfg.anno[subset]
         if q_path.exists():
             qs = json.loads(q_path.read_text())
             annos = json.loads(a_path.read_text()) if a_path.exists() else None
             dump_samples(preprocess_vqa(qs, annos),
-                         root / "coco_vqa/original_split", subset)
+                         Path(vqa_cfg.exp_dir), subset)
 
-    # vocab over whatever was produced
+    # vocab over whatever was produced (reference data/create_coco_vocab.py)
     from gpv_tpu.data.vocab_builder import build_vocab, write_vocab
     answers = []
     for task in ("coco_captions", "coco_detection", "coco_classification",
                  "coco_vqa"):
-        for subset in subsets:
+        for subset in _subsets(det_cfg):
             p = root / f"{task}/original_split/{subset}.json"
             if p.exists():
                 for s in json.loads(p.read_text()):
                     if "answer" in s:
                         answers.append(s["answer"])
-    vocab, cnt = build_vocab(answers, min_count=10)
+    vocab, cnt = build_vocab(answers, min_count=int(vocab_cfg.min_count))
     write_vocab(vocab, cnt, root / "vocab")
     print(f"vocab size: {len(vocab)}")
 

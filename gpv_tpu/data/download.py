@@ -57,22 +57,26 @@ def unzip(archive: Path, dest_dir: Path):
 
 
 def download_all(data_dir: str | Path, images_only: bool = False,
-                 include_test_images: bool = False):
+                 include_test_images: bool = False, urls=None):
+    """`urls` defaults to the module URL tree; the download CLI passes the
+    tree from `configs/data/download.yaml` (same schema as the reference's
+    `configs/data/download.yaml`) so it is overridable per run."""
+    urls = urls if urls is not None else URLS
     root = Path(data_dir) / "learning_phase_data"
     jobs = []
     img_subsets = ["train2014", "val2014"]
     if include_test_images:
         img_subsets.append("test2014")
     for s in img_subsets:
-        jobs.append((URLS["coco"]["images"][s], root / "coco/images"))
+        jobs.append((urls["coco"]["images"][s], root / "coco/images"))
     if not images_only:
-        jobs.append((URLS["coco"]["anno"]["trainval2014"], root / "coco"))
+        jobs.append((urls["coco"]["anno"]["trainval2014"], root / "coco"))
         if include_test_images:
-            jobs.append((URLS["coco"]["anno"]["test2014"], root / "coco"))
+            jobs.append((urls["coco"]["anno"]["test2014"], root / "coco"))
         for kind in ("questions", "anno"):
-            for s, url in URLS["vqa"][kind].items():
+            for s, url in urls["vqa"][kind].items():
                 jobs.append((url, root / f"vqa/{kind}"))
-        jobs.append((URLS["refcocop"]["anno"]["zip"], root / "refcocop"))
+        jobs.append((urls["refcocop"]["anno"]["zip"], root / "refcocop"))
     for url, dest in jobs:
         archive = download_url(url, dest)
         unzip(archive, dest)

@@ -44,6 +44,10 @@ class GPV(nn.Module):
     max_pos_enc_len: int = 30
     text_pos_enc: bool = False
     relevance_conditioning: bool = True
+    # True (default): padded query positions are masked out of fusion +
+    # decode (batch-1 semantics). False: reproduce the reference's batched
+    # no-mask semantics exactly (PARITY.md #12). Parameter-compatible.
+    mask_query_pads: bool = True
     answer_head: Optional[str] = None  # None = vocab-embed classifier, 'linear'
     co_att_num_layers: int = 3
     co_att_heads: int = 16
@@ -123,15 +127,25 @@ class GPV(nn.Module):
         detr_hs = self.detr_joiner(outputs.pop("detr_hs"))  # (L,B,Q,768)
         vl_hs = detr_hs[-1]  # (B, Q, 768)
 
-        # frozen BERT (reference: no_grad + detach, gpv.py:142-145)
+        # frozen BERT (reference: no_grad + detach, gpv.py:142-145).
+        # BERT itself is ALWAYS pad-masked (the reference tokenizer builds an
+        # attention_mask, bert.py:12-21); the fusion/decode masks below are
+        # where the reference differs (PARITY.md #12).
         query_enc = self.bert(query_ids, valid=query_valid,
                               deterministic=True)
         query_enc = jax.lax.stop_gradient(query_enc)
         lv_hs = self.bert_joiner(query_enc)  # (B, Tl, 768)
 
+        # mask_query_pads=True (default): batch-1 semantics — padded query
+        # positions are invisible to co-attention and text decode.
+        # False: the reference's BATCHED semantics (no attention masks in
+        # fusion, gpv.py:149-153, and none over decode memory, gpv.py:466) —
+        # outputs then depend on batch composition exactly as upstream.
+        fusion_valid = query_valid if self.mask_query_pads else None
+
         for layer in self.co_att:
             # positional call: remat static_argnums indexes positionally
-            lv_hs, vl_hs = layer(lv_hs, vl_hs, query_valid, None, not train)
+            lv_hs, vl_hs = layer(lv_hs, vl_hs, fusion_valid, None, not train)
 
         relevance_logits = self.relevance_predictor(vl_hs)  # (B,Q,K+1)
         outputs["pred_relevance_logits"] = (
@@ -144,10 +158,10 @@ class GPV(nn.Module):
             outputs["pred_relevance_logits"], vl_hs)
 
         memory = jnp.concatenate([vl_hs, lv_hs], axis=1)  # (B, Q+Tl, D)
-        if query_valid is not None:
+        if fusion_valid is not None:
             B, Q = vl_hs.shape[:2]
             mem_valid = jnp.concatenate(
-                [jnp.ones((B, Q), bool), query_valid], axis=1)
+                [jnp.ones((B, Q), bool), fusion_valid], axis=1)
         else:
             mem_valid = None
         return memory, mem_valid, outputs
@@ -280,6 +294,7 @@ def build_gpv(cfg, vocab_size: int, dtype=jnp.float32,
         max_pos_enc_len=cfg.max_pos_enc_len,
         text_pos_enc=cfg.text_decoder.pos_enc,
         relevance_conditioning=cfg.relevance_conditioning,
+        mask_query_pads=bool(cfg.get("mask_query_pads", True)),
         answer_head=cfg.answer_head,
         co_att_num_layers=cfg.co_att.num_layers,
         co_att_heads=cfg.co_att.bi_num_attention_heads,

@@ -57,6 +57,14 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        batch = dict(batch)
+        if batch["image"].dtype == jnp.uint8:
+            # normalize IN-GRAPH: the loader ships uint8 (4x less host->
+            # device bandwidth) and XLA fuses the cast+normalize into the
+            # first conv's input (same as engine._encode for inference)
+            from ..ops.image import normalize_image
+            batch["image"] = normalize_image(
+                batch["image"].astype(jnp.float32) / 255.0)
 
         def loss_fn(params):
             variables = {"params": params}

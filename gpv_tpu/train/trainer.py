@@ -293,14 +293,10 @@ class Trainer:
                         jax.profiler.start_trace(str(cfg.tb_dir))
                     elif self.step == int(profile_step) + 3:
                         jax.profiler.stop_trace()
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                batch["image"] = jnp.asarray(
-                    batch["image"], jnp.float32)
-                # normalize on device (fold into step graph via closure-free
-                # preprocessing here to keep the step cfg-independent)
-                mean = jnp.asarray([0.485, 0.456, 0.406]) * 255.0
-                std = jnp.asarray([0.229, 0.224, 0.225]) * 255.0
-                batch["image"] = (batch["image"] - mean) / std
+                # uint8 host batch -> device_put straight to the batch
+                # sharding; cast+normalize run INSIDE the jitted step
+                # (train_step.step_fn), so there are no eager dispatches or
+                # default-device staging between loader and step
                 batch = shard_batch(batch, self.mesh)
                 self.state, losses = self.train_step(self.state, batch, rng)
                 self.step += 1

@@ -89,3 +89,48 @@ class TestOfflinePipelineClis:
         stats_main([f"data_dir={raw_tree}", "split=gpv_split"])
         out = capsys.readouterr().out
         assert "num_samples" in out
+
+
+class TestDownloadCLI:
+    def test_config_driven_urls_and_flags(self, monkeypatch, tmp_path):
+        """cli.download composes the configs/data/download.yaml URL tree
+        (reference configs/data/download.yaml schema) with hydra-style
+        overrides; network calls are stubbed."""
+        from gpv_tpu.cli.download import main as download_main
+        from gpv_tpu.data import download as dl
+
+        got = []
+        monkeypatch.setattr(dl, "download_url",
+                            lambda url, dest: got.append(url) or
+                            (tmp_path / "x.zip"))
+        monkeypatch.setattr(dl, "unzip", lambda a, d: None)
+
+        download_main([f"data_dir={tmp_path}",
+                       "download_coco_images_only=True"])
+        assert got == [
+            "http://images.cocodataset.org/zips/train2014.zip",
+            "http://images.cocodataset.org/zips/val2014.zip"]
+
+        got.clear()
+        download_main([
+            f"data_dir={tmp_path}", "download_coco_images_only=True",
+            "urls.coco.images.train2014=http://mirror/train2014.zip"])
+        assert got[0] == "http://mirror/train2014.zip"
+
+        got.clear()
+        download_main([f"data_dir={tmp_path}", "images_only=true"])  # legacy
+        assert len(got) == 2
+
+    def test_full_tree_includes_vqa_and_refexp(self, monkeypatch, tmp_path):
+        from gpv_tpu.cli.download import main as download_main
+        from gpv_tpu.data import download as dl
+
+        got = []
+        monkeypatch.setattr(dl, "download_url",
+                            lambda url, dest: got.append(url) or
+                            (tmp_path / "x.zip"))
+        monkeypatch.setattr(dl, "unzip", lambda a, d: None)
+        download_main([f"data_dir={tmp_path}"])
+        assert any("v2_Questions_Train" in u for u in got)
+        assert any("refcoco+.zip" in u for u in got)
+        assert any("annotations_trainval2014" in u for u in got)
