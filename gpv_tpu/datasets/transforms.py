@@ -13,6 +13,15 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # fused C++ jitter (gpv_tpu/native/imageproc.cc) — ~25x the numpy path
+    from ..native import (JITTER_BRIGHTNESS, JITTER_CONTRAST,
+                          JITTER_GRAYSCALE, JITTER_HUE, JITTER_SATURATION,
+                          color_jitter_native, load_native)
+    load_native()
+    _NATIVE = True
+except Exception:  # toolchain missing: numpy fallback, same math
+    _NATIVE = False
+
 
 def _blend(img: np.ndarray, other: np.ndarray, factor: float) -> np.ndarray:
     out = factor * img + (1.0 - factor) * other
@@ -79,25 +88,40 @@ class ColorJitter:
         self.hue = hue
         self.p = p
 
-    def __call__(self, img: np.ndarray, rng: np.random.RandomState):
+    def __call__(self, img: np.ndarray, rng: np.random.RandomState,
+                 native: bool = True):
         if rng.rand() >= self.p:
             return img
-        img = img.astype(np.float32)
-        ops = []
+        img = np.ascontiguousarray(img, np.float32)
+        # sampling order/stream identical for both execution paths
+        codes, factors, fns = [], [], []
         if self.brightness > 0:
             f = rng.uniform(max(0, 1 - self.brightness), 1 + self.brightness)
-            ops.append(lambda x, f=f: adjust_brightness(x, f))
+            codes.append(0)
+            factors.append(f)
+            fns.append(lambda x, f=f: adjust_brightness(x, f))
         if self.contrast > 0:
             f = rng.uniform(max(0, 1 - self.contrast), 1 + self.contrast)
-            ops.append(lambda x, f=f: adjust_contrast(x, f))
+            codes.append(1)
+            factors.append(f)
+            fns.append(lambda x, f=f: adjust_contrast(x, f))
         if self.saturation > 0:
             f = rng.uniform(max(0, 1 - self.saturation), 1 + self.saturation)
-            ops.append(lambda x, f=f: adjust_saturation(x, f))
+            codes.append(2)
+            factors.append(f)
+            fns.append(lambda x, f=f: adjust_saturation(x, f))
         if self.hue > 0:
             f = rng.uniform(-self.hue, self.hue)
-            ops.append(lambda x, f=f: adjust_hue(x, f))
-        for i in rng.permutation(len(ops)):
-            img = ops[i](img)
+            codes.append(3)
+            factors.append(f)
+            fns.append(lambda x, f=f: adjust_hue(x, f))
+        order = rng.permutation(len(codes))
+        if _NATIVE and native:
+            return color_jitter_native(
+                img, [codes[i] for i in order],
+                [factors[i] for i in order])
+        for i in order:
+            img = fns[i](img)
         return img
 
 
@@ -105,8 +129,11 @@ class RandomGrayscale:
     def __init__(self, p=0.2):
         self.p = p
 
-    def __call__(self, img, rng):
+    def __call__(self, img, rng, native: bool = True):
         if rng.rand() < self.p:
+            if _NATIVE and native and img.shape[-1] == 3:
+                return color_jitter_native(
+                    np.ascontiguousarray(img, np.float32), [4], [0.0])
             g = _grayscale(img.astype(np.float32))
             return np.broadcast_to(g, img.shape).copy()
         return img

@@ -42,5 +42,28 @@ def resize_bilinear_native(img_u8: np.ndarray, out_h: int,
     return out
 
 
+# color-jitter op codes shared with imageproc.cc
+JITTER_BRIGHTNESS, JITTER_CONTRAST = 0, 1
+JITTER_SATURATION, JITTER_HUE, JITTER_GRAYSCALE = 2, 3, 4
+
+
+def color_jitter_native(img_f32: np.ndarray, ops, factors) -> np.ndarray:
+    """Apply jitter ops (codes above) with per-op factors, in place on a
+    C-contiguous (H, W, 3) float32 image; returns the same array."""
+    lib = load_native()
+    assert img_f32.dtype == np.float32 and img_f32.flags.c_contiguous
+    h, w, c = img_f32.shape
+    assert c == 3
+    ops_a = np.asarray(ops, np.int32)
+    fac_a = np.asarray(factors, np.float32)
+    lib.color_jitter_f32(
+        img_f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
+        ops_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fac_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(ops_a))
+    return img_f32
+
+
 __all__ = ["build_native", "load_native", "solve_lsap_native",
-           "resize_bilinear_native"]
+           "resize_bilinear_native", "color_jitter_native",
+           "JITTER_BRIGHTNESS", "JITTER_CONTRAST", "JITTER_SATURATION",
+           "JITTER_HUE", "JITTER_GRAYSCALE"]

@@ -53,5 +53,10 @@ def load_native() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.c_int]
+        lib.color_jitter_f32.restype = None
+        lib.color_jitter_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int]
         _lib = lib
     return _lib

@@ -70,3 +70,45 @@ class TestNativeResize:
         # PIL uses a true area-weighted bilinear on downscale (support
         # scaling); allow loose agreement
         assert np.abs(ours - pil).mean() < 30
+
+
+class TestNativeColorJitter:
+    def test_native_matches_numpy_reference(self):
+        """Fused C++ jitter (imageproc.cc color_jitter_f32) == the numpy
+        reference math for every op and random order/factors."""
+        from gpv_tpu.datasets import transforms as T
+
+        if not T._NATIVE:
+            pytest.skip("native toolchain unavailable")
+        img = np.random.RandomState(0).randint(
+            0, 255, (64, 96, 3), np.uint8)
+        jit = T.ColorJitter(0.4, 0.4, 0.4, 0.1, p=1.0)
+        for seed in range(5):
+            a = jit(img.copy(), np.random.RandomState(seed), native=True)
+            b = jit(img.copy(), np.random.RandomState(seed), native=False)
+            np.testing.assert_allclose(a, b, atol=5e-3)
+
+    def test_native_grayscale_matches(self):
+        from gpv_tpu.datasets import transforms as T
+
+        if not T._NATIVE:
+            pytest.skip("native toolchain unavailable")
+        img = np.random.RandomState(1).randint(
+            0, 255, (32, 48, 3), np.uint8)
+        g = T.RandomGrayscale(p=1.0)
+        a = g(img.copy(), np.random.RandomState(0), native=True)
+        b = g(img.copy(), np.random.RandomState(0), native=False)
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+    def test_rng_stream_unchanged_by_backend(self):
+        """Factor sampling must consume the SAME rng stream on both paths
+        (checkpointed-run reproducibility across toolchains)."""
+        from gpv_tpu.datasets import transforms as T
+
+        img = np.random.RandomState(2).randint(
+            0, 255, (16, 16, 3), np.uint8)
+        jit = T.ColorJitter(0.2, 0.2, 0.2, 0.0, p=0.8)
+        r1, r2 = np.random.RandomState(9), np.random.RandomState(9)
+        jit(img.copy(), r1, native=True)
+        jit(img.copy(), r2, native=False)
+        assert r1.rand() == r2.rand()
