@@ -24,8 +24,18 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/gpv_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-# Estimated reference images/sec (PyTorch, 1x24GB GPU, eval batch 20).
-PYTORCH_BASELINE_IMG_PER_SEC = 12.0
+# Estimated reference images/sec (PyTorch fp32, 1x 24GB GPU, eval batch 20).
+# Derivation (BASELINE.md "baseline denominator"): encode ~55 GF/img
+# (measured on our profile; same math) + ~6 GF/img for the reference's
+# full-prefix re-decode => ~61 GF/img. A 24GB-class fp32 GPU (~16 TF/s
+# peak) at a generous 35% end-to-end utilization for conv-heavy eval
+# ≈ 5.6 TF/s, MINUS the 20-step Python decode loop (20 sequential
+# sub-300-MF decoder+10k-vocab-head launches per batch, launch-bound) and
+# per-batch host work (HF tokenization, HDF5/JSON writes). Net estimate
+# ~45 img/s — deliberately CONSERVATIVE (high) so `vs_baseline` understates
+# rather than overstates the speedup; the r1 value of 12 img/s was an
+# unexplained guess (VERDICT r1 weak #2).
+PYTORCH_BASELINE_IMG_PER_SEC = 45.0
 
 BATCH = 20          # reference eval batch size (configs/exp/gpv.yaml:157)
 H, W = 480, 640     # reference fixed input size

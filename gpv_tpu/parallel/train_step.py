@@ -41,13 +41,23 @@ def create_train_state(variables, optimizer) -> TrainState:
 def make_train_step(model, optimizer, loss_cfg: LossConfig,
                     clip_max_norm: float = 0.1,
                     mesh=None, donate: bool = True,
-                    state_template=None) -> Callable:
+                    state_template=None, grad_accum: int = 1) -> Callable:
     """Build the jitted train step.
 
     batch dict fields (all static shapes, leading dim = global batch):
-      image (B,H,W,3) fp32 normalized; query_ids (B,Tq) + query_valid (B,Tq);
+      image (B,H,W,3) fp32 normalized or uint8 (normalized in-graph);
+      query_ids (B,Tq) + query_valid (B,Tq);
       answer_ids (B,S); answer_lens (B,); task_id (B,); has_answer (B,);
       boxes (B,M,4); box_labels (B,M); box_valid (B,M); has_boxes (B,).
+
+    grad_accum > 1 splits the (per-device) batch into that many microbatches
+    scanned sequentially, averaging gradients AND losses before one
+    optimizer step — each microbatch uses its own loss normalization, which
+    is exactly the reference's DDP semantics (each GPU normalizes over its
+    own shard of the global 120 batch before the gradient all-reduce,
+    `train_distr.py:192,202`). This is how the reference batch-120 recipe
+    fits a 16 GB v5e chip (see BASELINE.md). Activations of one microbatch
+    are freed before the next, so peak memory scales with B/grad_accum.
 
     With a mesh whose `model` axis > 1 and a `state_template` (a TrainState,
     used only for structure/shapes), parameters get Megatron-style tensor-
@@ -55,8 +65,7 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     the data axis and GSPMD inserts the TP collectives.
     """
 
-    def step_fn(state: TrainState, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
+    def loss_fn(params, batch_stats, batch, rng):
         batch = dict(batch)
         if batch["image"].dtype == jnp.uint8:
             # normalize IN-GRAPH: the loader ships uint8 (4x less host->
@@ -65,21 +74,58 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
             from ..ops.image import normalize_image
             batch["image"] = normalize_image(
                 batch["image"].astype(jnp.float32) / 255.0)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        outputs = model.apply(
+            variables, batch["image"], batch["query_ids"],
+            batch["answer_ids"], image_valid=batch.get("image_valid"),
+            query_valid=batch["query_valid"], train=True,
+            rngs={"dropout": rng})
+        total, losses = gpv_criterion(outputs, batch, loss_cfg)
+        return total, losses
 
-        def loss_fn(params):
-            variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            outputs = model.apply(
-                variables, batch["image"], batch["query_ids"],
-                batch["answer_ids"], image_valid=batch.get("image_valid"),
-                query_valid=batch["query_valid"], train=True,
-                rngs={"dropout": rng})
-            total, losses = gpv_criterion(outputs, batch, loss_cfg)
-            return total, losses
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
 
-        (_, losses), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if grad_accum <= 1:
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                       batch, rng)
+        else:
+            B = batch["image"].shape[0]
+            assert B % grad_accum == 0, (
+                f"batch {B} not divisible by grad_accum {grad_accum}")
+            m = B // grad_accum
+            micro_batches = jax.tree.map(
+                lambda x: x.reshape(grad_accum, m, *x.shape[1:]), batch)
+
+            def micro(carry, xs):
+                acc_g, acc_l = carry
+                mb, i = xs
+                (_, losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    state.params, state.batch_stats, mb,
+                    jax.random.fold_in(rng, i))
+                acc_g = jax.tree.map(jnp.add, acc_g, grads)
+                acc_l = jax.tree.map(jnp.add, acc_l, losses)
+                return (acc_g, acc_l), None
+
+            zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+            # loss dict structure via eval_shape (no compute)
+            loss_shape = jax.eval_shape(
+                lambda: loss_fn(state.params, state.batch_stats,
+                                jax.tree.map(lambda x: x[0], micro_batches),
+                                rng)[1])
+            zeros_l = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), loss_shape)
+            (grads, losses), _ = jax.lax.scan(
+                micro, (zeros_g, zeros_l),
+                (micro_batches, jnp.arange(grad_accum)))
+            inv = 1.0 / grad_accum
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            losses = jax.tree.map(lambda v: v * inv, losses)
+
         grads = clip_detr_grads(grads, clip_max_norm)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)

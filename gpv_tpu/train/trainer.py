@@ -115,7 +115,8 @@ class Trainer:
         self.state = create_train_state(variables, self.optimizer)
         self.train_step = make_train_step(
             self.model, self.optimizer, LossConfig.from_config(cfg.losses),
-            float(cfg.training.clip_max_norm), mesh=self.mesh)
+            float(cfg.training.clip_max_norm), mesh=self.mesh,
+            grad_accum=int(cfg.training.get("grad_accum_steps", 1)))
 
         self.engine = GPVEngine(self.model, variables, self.vocab,
                                 self.tokenizer)

@@ -1,0 +1,136 @@
+"""Full-size train-step benchmark on the real chip (VERDICT r1 item 3).
+
+Measures ms/step for the full GPV train step (fwd + losses + on-device
+matching + bwd + AdamW) at full model size (768-d, ResNet-50, 6+6 DETR,
+12-layer BERT) across batch/remat/grad-accum configs; prints one JSON row
+per config. Used to root-cause the r1 remat/large-batch cliff and to
+establish the batch-120-equivalent throughput claim in BASELINE.md.
+
+Usage:
+  python scripts/bench_train_step.py 'B=16' 'B=32' 'B=32,accum=2' \
+      'B=120,accum=8' 'B=16,remat=1' [steps=5] [profile_dir=/tmp/trace]
+Each positional arg is one config: B=<batch>[,accum=<k>][,remat=0|1].
+"""
+import json
+import sys
+import time
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+TRAIN_FLOPS_PER_IMG = 165e9  # ~3x the ~55 GFLOP forward (bwd 2x fwd)
+
+
+def make_batch(B, H=480, W=640, S=20, M=8, Tq=12, vocab=10000):
+    rng = np.random.RandomState(0)
+    tasks = np.arange(B) % 4  # cap, vqa, cls, det ids 0..3
+    return {
+        "image": rng.randint(0, 255, (B, H, W, 3)).astype(np.uint8),
+        "query_ids": rng.randint(0, 30522, (B, Tq)).astype(np.int32),
+        "query_valid": np.ones((B, Tq), bool),
+        "answer_ids": rng.randint(0, vocab, (B, S)).astype(np.int32),
+        "answer_lens": np.full((B,), 12, np.int32),
+        "task_id": tasks.astype(np.int32),
+        "has_answer": tasks != 3,
+        "boxes": rng.uniform(0.3, 0.6, (B, M, 4)).astype(np.float32),
+        "box_labels": np.zeros((B, M), np.int32),
+        "box_valid": np.tile([True, True, True, False, False, False, False,
+                              False], (B, 1)),
+        "has_boxes": tasks == 3,
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpv_tpu.losses import LossConfig
+    from gpv_tpu.models.gpv import GPV
+    from gpv_tpu.parallel import create_train_state, make_train_step
+    from gpv_tpu.train import build_optimizer
+    from gpv_tpu.utils.config import ConfigNode
+
+    kv = [a for a in sys.argv[1:] if a.startswith(("steps=", "profile_dir="))]
+    opts = dict(a.split("=", 1) for a in kv)
+    steps = int(opts.get("steps", 5))
+    profile_dir = opts.get("profile_dir")
+    configs = []
+    for a in sys.argv[1:]:
+        if a in kv:
+            continue
+        d = dict(x.split("=", 1) for x in a.split(","))
+        configs.append((int(d["B"]), int(d.get("accum", 1)),
+                        bool(int(d.get("remat", 0)))))
+    if not configs:
+        configs = [(16, 1, False)]
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    detr_cfg = dict(num_queries=100, num_classes=1, hidden_dim=256, nheads=8,
+                    num_encoder_layers=6, num_decoder_layers=6,
+                    dim_feedforward=2048, dropout=0.1)
+    training_cfg = ConfigNode({
+        "num_epochs": 40, "lr": 1e-4, "lr_backbone": 1e-5,
+        "weight_decay": 1e-4, "lr_milestones": [10], "lr_drop": 0.5,
+        "lr_warmup": True, "lr_linear_decay": True,
+        "lr_warmup_fraction": 0.1, "freeze": False,
+    })
+
+    prev_remat = None
+    model = state = None
+    for B, accum, remat in configs:
+        if remat != prev_remat:
+            model = GPV(vocab_size=10000, detr_cfg=detr_cfg,
+                        remat=remat, dtype=jnp.bfloat16)
+            batch1 = make_batch(1)
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 480, 640, 3), jnp.float32),
+                jnp.asarray(batch1["query_ids"][:1]),
+                jnp.asarray(batch1["answer_ids"][:1]), train=False)
+            optimizer = build_optimizer(training_cfg, steps_per_epoch=1000,
+                                        params=variables["params"])
+            state = create_train_state(variables, optimizer)
+            prev_remat = remat
+        step = make_train_step(model, optimizer, LossConfig(), 0.1,
+                               mesh=None, donate=False, grad_accum=accum)
+        batch = {k: jnp.asarray(v) for k, v in make_batch(B).items()}
+        rng = jax.random.PRNGKey(1)
+        t0 = time.perf_counter()
+        st, losses = step(state, batch, rng)
+        jax.block_until_ready(losses)
+        compile_s = time.perf_counter() - t0
+        del st
+
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        times = []
+        for i in range(steps):
+            t0 = time.perf_counter()
+            st, losses = step(state, batch, rng)
+            jax.block_until_ready(losses)
+            times.append(time.perf_counter() - t0)
+            del st
+        if profile_dir:
+            jax.profiler.stop_trace()
+
+        ms = 1000 * min(times)
+        rate = B / min(times)
+        mfu = TRAIN_FLOPS_PER_IMG * rate / 197e12  # v5e bf16 peak
+        print(json.dumps({
+            "B": B, "grad_accum": accum, "remat": remat,
+            "ms_per_step": round(ms, 1), "img_per_sec": round(rate, 1),
+            "compile_s": round(compile_s, 1),
+            "est_train_mfu": round(mfu, 3),
+            "total_loss": round(float(losses["total_loss"]), 3),
+            "all_ms": [round(1000 * t, 1) for t in times],
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -243,3 +243,59 @@ class TestTrainStep:
         after = jax.tree.map(np.asarray, state.params["detr"])
         for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(after)):
             np.testing.assert_array_equal(a, b)
+
+
+class TestGradAccumulation:
+    def test_accum_matches_single_step_with_uniform_microbatches(self):
+        """grad_accum=2 over a batch whose halves have identical task
+        composition == one full-batch step (reference-DDP per-shard
+        normalization makes them equal when shards are homogeneous)."""
+        model = tiny_gpv()
+        # same task layout in both halves: [cap,vqa,cls,det] x2
+        batch = make_batch(B=8)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+            jnp.asarray(batch["query_ids"]),
+            jnp.asarray(batch["answer_ids"]), train=False)
+        optimizer = build_optimizer(training_cfg(), steps_per_epoch=10,
+                                    params=variables["params"])
+        state1 = create_train_state(variables, optimizer)
+        state2 = create_train_state(variables, optimizer)
+        step1 = make_train_step(model, optimizer, LossConfig(), 0.1,
+                                mesh=None, donate=False)
+        step2 = make_train_step(model, optimizer, LossConfig(), 0.1,
+                                mesh=None, donate=False, grad_accum=2)
+        rng = jax.random.PRNGKey(1)
+        # dropout rngs differ per microbatch by construction; compare with
+        # dropout disabled (tiny_gpv uses dropout=0.0 already)
+        s1, l1 = step1(state1, batch, rng)
+        s2, l2 = step2(state2, batch, rng)
+        # box losses normalize per-shard; halves carry 1 det sample each
+        # with the same box count, so every loss must agree
+        for k in ("loss_caption", "loss_vqa", "loss_cls", "loss_ce",
+                  "loss_bbox", "loss_giou", "total_loss"):
+            np.testing.assert_allclose(float(l2[k]), float(l1[k]),
+                                       rtol=2e-4, atol=2e-4, err_msg=k)
+        # params after the step agree too
+        d = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            s1.params, s2.params)
+        assert max(jax.tree.leaves(d)) < 5e-5
+
+    def test_accum_on_mesh_runs_finite(self):
+        mesh = make_mesh(data=8)
+        model = tiny_gpv()
+        batch = make_batch(B=16)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+            jnp.asarray(batch["query_ids"]),
+            jnp.asarray(batch["answer_ids"]), train=False)
+        optimizer = build_optimizer(training_cfg(), steps_per_epoch=10,
+                                    params=variables["params"])
+        state = create_train_state(variables, optimizer)
+        step = make_train_step(model, optimizer, LossConfig(), 0.1,
+                               mesh=mesh, donate=False,
+                               state_template=state, grad_accum=2)
+        state, losses = step(state, shard_batch(batch, mesh),
+                             jax.random.PRNGKey(2))
+        assert np.isfinite(float(losses["total_loss"]))
