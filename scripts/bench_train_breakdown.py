@@ -1,0 +1,99 @@
+"""Decompose the full train step's time: fwd / fwd+loss / +bwd / +optimizer,
+plus the matcher alone (VERDICT r1 weak #3 follow-up: where do the B=120
+step's 520 ms go?). Prints one JSON row per stage."""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpv_tpu.losses import LossConfig
+    from gpv_tpu.losses.criterion import gpv_criterion
+    from gpv_tpu.models.gpv import GPV
+    from gpv_tpu.parallel import create_train_state, make_train_step
+    from gpv_tpu.train import build_optimizer
+    from gpv_tpu.utils.config import ConfigNode
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_train_step import make_batch
+
+    B = int(dict(a.split("=", 1) for a in sys.argv[1:]).get("B", 32))
+    detr_cfg = dict(num_queries=100, num_classes=1, hidden_dim=256, nheads=8,
+                    num_encoder_layers=6, num_decoder_layers=6,
+                    dim_feedforward=2048, dropout=0.1)
+    model = GPV(vocab_size=10000, detr_cfg=detr_cfg, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 480, 640, 3), jnp.float32),
+                           jnp.zeros((1, 12), jnp.int32),
+                           jnp.zeros((1, 20), jnp.int32), train=False)
+    cfg = LossConfig()
+    batch = {k: jnp.asarray(v) for k, v in make_batch(B).items()}
+    rng = jax.random.PRNGKey(1)
+
+    from gpv_tpu.ops.image import normalize_image
+
+    def prep(b):
+        b = dict(b)
+        b["image"] = normalize_image(b["image"].astype(jnp.float32) / 255.0)
+        return b
+
+    def fwd(variables, batch, rng):
+        b = prep(batch)
+        return model.apply(variables, b["image"], b["query_ids"],
+                           b["answer_ids"], query_valid=b["query_valid"],
+                           train=True, rngs={"dropout": rng})
+
+    def fwd_loss(variables, batch, rng):
+        out = fwd(variables, batch, rng)
+        total, losses = gpv_criterion(out, batch, cfg)
+        return total, losses
+
+    def grad_fn(variables, batch, rng):
+        def loss_fn(params):
+            v = {"params": params, "batch_stats": variables["batch_stats"]}
+            return fwd_loss(v, batch, rng)
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        return total, grads
+
+    def timeit(name, fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({"stage": name, "B": B,
+                          "ms": round(1000 * min(ts), 1)}), flush=True)
+        return min(ts)
+
+    timeit("forward_only", jax.jit(fwd), variables, batch, rng)
+    timeit("forward_plus_loss_and_matcher", jax.jit(fwd_loss), variables,
+           batch, rng)
+    timeit("forward_backward", jax.jit(grad_fn), variables, batch, rng)
+
+    training_cfg = ConfigNode({
+        "num_epochs": 40, "lr": 1e-4, "lr_backbone": 1e-5,
+        "weight_decay": 1e-4, "lr_milestones": [10], "lr_drop": 0.5,
+        "lr_warmup": True, "lr_linear_decay": True,
+        "lr_warmup_fraction": 0.1, "freeze": False})
+    optimizer = build_optimizer(training_cfg, 1000, variables["params"])
+    state = create_train_state(variables, optimizer)
+    step = make_train_step(model, optimizer, cfg, 0.1, mesh=None,
+                           donate=False)
+    timeit("full_step", step, state, batch, rng)
+
+
+if __name__ == "__main__":
+    main()
