@@ -50,6 +50,12 @@ def main():
     from gpv_tpu.decode import greedy_decode
     from gpv_tpu.models.gpv import GPV
 
+    # optional `batch=N` arg for serving-batch sweeps (driver runs with no
+    # args -> reference eval batch 20, unchanged contract)
+    import sys
+    args = dict(a.split("=", 1) for a in sys.argv[1:])
+    BATCH = int(args.get("batch", globals()["BATCH"]))
+
     detr_cfg = dict(num_queries=100, num_classes=1, hidden_dim=256, nheads=8,
                     num_encoder_layers=6, num_decoder_layers=6,
                     dim_feedforward=2048, dropout=0.1)

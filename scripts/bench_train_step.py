@@ -49,6 +49,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gpv_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from gpv_tpu.losses import LossConfig
     from gpv_tpu.models.gpv import GPV
     from gpv_tpu.parallel import create_train_state, make_train_step
