@@ -60,8 +60,13 @@ def main(argv=None):
     for task, ds_name in task_to_name.items():
         for subset in ("train", "val", "test"):
             src = root / f"{task}/original_split"
-            src_file = src / (f"{subset}.json"
-                              if subset != "test" else "val.json")
+            # source per gpv subset from the config's dataset mapping
+            # (reference split_data_by_categories.yaml: gpv train AND val
+            # both come from COCO train.json — the train2014 holdout ids
+            # form gpv val; COCO val.json becomes gpv test). Reading
+            # val.json for gpv val produced an EMPTY val split (subset
+            # mismatch against the train2014-derived image ids).
+            src_file = src / str(split_cfg.dataset[subset])
             if not src_file.exists():
                 continue
             samples = json.loads(src_file.read_text())

@@ -40,17 +40,21 @@ def main(argv=None):
 
     for subset in _subsets(det_cfg):
         inst_path = Path(det_cfg.download_dir) / det_cfg.instances[subset]
+        # image_info_test2014.json has no 'annotations' — skip like the old
+        # missing-file path did instead of crashing on test subsets
         if inst_path.exists():
             inst = json.loads(inst_path.read_text())
-            dump_samples(preprocess_detection(inst),
-                         Path(det_cfg.exp_dir), subset)
-            dump_samples(preprocess_classification(inst),
-                         Path(cls_cfg.exp_dir), subset)
+            if "annotations" in inst:
+                dump_samples(preprocess_detection(inst),
+                             Path(det_cfg.exp_dir), subset)
+                dump_samples(preprocess_classification(inst),
+                             Path(cls_cfg.exp_dir), subset)
         cap_path = Path(cap_cfg.download_dir) / cap_cfg.captions[subset]
         if cap_path.exists():
             caps = json.loads(cap_path.read_text())
-            dump_samples(preprocess_captions(caps),
-                         Path(cap_cfg.exp_dir), subset)
+            if "annotations" in caps:
+                dump_samples(preprocess_captions(caps),
+                             Path(cap_cfg.exp_dir), subset)
         q_path = (Path(vqa_cfg.download_dir) / "questions"
                   / vqa_cfg.questions[subset])
         a_path = Path(vqa_cfg.download_dir) / "anno" / vqa_cfg.anno[subset]
@@ -61,18 +65,19 @@ def main(argv=None):
                          Path(vqa_cfg.exp_dir), subset)
 
     # vocab over whatever was produced (reference data/create_coco_vocab.py)
+    # — read back from the SAME config-driven exp_dirs the dump step used,
+    # so exp_name/output_dir overrides can't silently empty the vocab
     from gpv_tpu.data.vocab_builder import build_vocab, write_vocab
     answers = []
-    for task in ("coco_captions", "coco_detection", "coco_classification",
-                 "coco_vqa"):
+    for task_cfg in (cap_cfg, det_cfg, cls_cfg, vqa_cfg):
         for subset in _subsets(det_cfg):
-            p = root / f"{task}/original_split/{subset}.json"
+            p = Path(task_cfg.exp_dir) / f"{subset}.json"
             if p.exists():
                 for s in json.loads(p.read_text()):
                     if "answer" in s:
                         answers.append(s["answer"])
     vocab, cnt = build_vocab(answers, min_count=int(vocab_cfg.min_count))
-    write_vocab(vocab, cnt, root / "vocab")
+    write_vocab(vocab, cnt, Path(vocab_cfg.exp_dir))
     print(f"vocab size: {len(vocab)}")
 
 

@@ -13,14 +13,23 @@ from __future__ import annotations
 
 import numpy as np
 
-try:  # fused C++ jitter (gpv_tpu/native/imageproc.cc) — ~25x the numpy path
-    from ..native import (JITTER_BRIGHTNESS, JITTER_CONTRAST,
-                          JITTER_GRAYSCALE, JITTER_HUE, JITTER_SATURATION,
-                          color_jitter_native, load_native)
-    load_native()
-    _NATIVE = True
-except Exception:  # toolchain missing: numpy fallback, same math
-    _NATIVE = False
+_NATIVE = None  # resolved lazily: None=unknown, True/False after first use
+
+
+def _native_jitter():
+    """Load the fused C++ jitter on FIRST USE (not at import: the initial
+    g++ build takes seconds and concurrent importers would race on it) and
+    cache the verdict. Returns color_jitter_native or None."""
+    global _NATIVE, _color_jitter_native
+    if _NATIVE is None:
+        try:
+            from ..native import color_jitter_native, load_native
+            load_native()
+            _color_jitter_native = color_jitter_native
+            _NATIVE = True
+        except Exception:  # toolchain missing: numpy fallback, same math
+            _NATIVE = False
+    return _color_jitter_native if _NATIVE else None
 
 
 def _blend(img: np.ndarray, other: np.ndarray, factor: float) -> np.ndarray:
@@ -92,7 +101,9 @@ class ColorJitter:
                  native: bool = True):
         if rng.rand() >= self.p:
             return img
-        img = np.ascontiguousarray(img, np.float32)
+        # fresh copy ALWAYS (np.array copies): the C kernel works in place,
+        # and the numpy path historically never aliased the caller's array
+        img = np.array(img, dtype=np.float32, order="C")
         # sampling order/stream identical for both execution paths
         codes, factors, fns = [], [], []
         if self.brightness > 0:
@@ -116,10 +127,10 @@ class ColorJitter:
             factors.append(f)
             fns.append(lambda x, f=f: adjust_hue(x, f))
         order = rng.permutation(len(codes))
-        if _NATIVE and native:
-            return color_jitter_native(
-                img, [codes[i] for i in order],
-                [factors[i] for i in order])
+        kernel = _native_jitter() if native else None
+        if kernel is not None:
+            return kernel(img, [codes[i] for i in order],
+                          [factors[i] for i in order])
         for i in order:
             img = fns[i](img)
         return img
@@ -131,9 +142,11 @@ class RandomGrayscale:
 
     def __call__(self, img, rng, native: bool = True):
         if rng.rand() < self.p:
-            if _NATIVE and native and img.shape[-1] == 3:
-                return color_jitter_native(
-                    np.ascontiguousarray(img, np.float32), [4], [0.0])
+            kernel = _native_jitter() if native and img.shape[-1] == 3 \
+                else None
+            if kernel is not None:
+                return kernel(np.array(img, dtype=np.float32, order="C"),
+                              [4], [0.0])
             g = _grayscale(img.astype(np.float32))
             return np.broadcast_to(g, img.shape).copy()
         return img

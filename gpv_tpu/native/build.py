@@ -26,10 +26,15 @@ def build_native(force: bool = False) -> Path:
     so_path = build_dir / f"gpv_native_{_source_hash()}.so"
     if so_path.exists() and not force:
         return so_path
+    # compile to a per-pid temp then atomically rename: concurrent worker
+    # processes racing the first build must never CDLL a half-written .so
+    import os
+    tmp_path = build_dir / f".gpv_native_{_source_hash()}.{os.getpid()}.so"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(so_path)] + [str(_DIR / s) for s in _SOURCES] + \
+           "-o", str(tmp_path)] + [str(_DIR / s) for s in _SOURCES] + \
           ["-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp_path, so_path)
     return so_path
 
 

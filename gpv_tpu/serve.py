@@ -24,6 +24,11 @@ class GPVServer:
         self.batch_size = batch_size
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
+        # requests deferred by mask-mismatch, served BEFORE the queue at the
+        # next collection so a minority-mask request cannot be starved by a
+        # sustained majority-mask stream
+        self._pending: list = []
+        self._pending_lock = threading.Lock()
         self._closed = threading.Event()
         self._workers = [
             threading.Thread(target=self._worker, daemon=True)
@@ -52,17 +57,38 @@ class GPVServer:
         return (m.shape, m.dtype.str, m.tobytes())
 
     def _collect(self):
-        """Block for one request, then coalesce up to batch_size requests
-        that share the same vocab mask; others are re-queued."""
-        try:
-            first = self._q.get(timeout=0.1)
-        except queue.Empty:
-            return None
+        """Collect up to batch_size requests sharing one vocab mask.
+
+        Previously-deferred requests (mask mismatch) are served FIRST: the
+        oldest deferred request seeds the batch, so every request is served
+        within one batch of reaching the deferred list — no starvation
+        under a sustained stream of another mask.
+        """
+        with self._pending_lock:
+            if self._pending:
+                first = self._pending.pop(0)
+            else:
+                first = None
+        if first is None:
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                return None
         items = [first]
         key = self._mask_key(first[2])
         deferred = []
         import time
         deadline = time.monotonic() + self.max_wait_s
+        # same-mask requests already deferred join this batch first
+        with self._pending_lock:
+            keep = []
+            for it in self._pending:
+                if len(items) < self.batch_size and \
+                        self._mask_key(it[2]) == key:
+                    items.append(it)
+                else:
+                    keep.append(it)
+            self._pending[:] = keep
         while len(items) < self.batch_size:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
@@ -75,8 +101,9 @@ class GPVServer:
                 items.append(it)
             else:
                 deferred.append(it)
-        for it in deferred:
-            self._q.put(it)
+        if deferred:
+            with self._pending_lock:
+                self._pending.extend(deferred)
         return items
 
     def _worker(self):

@@ -84,6 +84,18 @@ class TestOfflinePipelineClis:
         for s in kept:
             assert "coco_categories" in s
             assert not s["coco_categories"]["unseen"]
+        # gpv val = COCO train.json samples on the train2014 HOLDOUT ids
+        # (reference split_data_by_categories.yaml dataset mapping:
+        # val: train.json). Regression: reading val.json produced an
+        # always-empty val split.
+        val = json.loads(
+            (lp / "coco_vqa/gpv_split/val.json").read_text())
+        train = json.loads(
+            (lp / "coco_vqa/gpv_split/train.json").read_text())
+        assert val, "gpv_split val must be non-empty (train2014 holdout)"
+        train_ids = {s["image"]["image_id"] for s in train}
+        val_ids = {s["image"]["image_id"] for s in val}
+        assert not (train_ids & val_ids), "train/val image leak"
 
         from gpv_tpu.cli.data_stats import main as stats_main
         stats_main([f"data_dir={raw_tree}", "split=gpv_split"])

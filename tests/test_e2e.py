@@ -152,7 +152,10 @@ class TestDatasets:
 
 class TestTrainerE2E:
     def test_train_eval_checkpoint_cycle(self, data_dir, tmp_path):
-        cfg = tiny_cfg(data_dir, tmp_path)
+        # grad_accum_steps exercises the trainer's microbatch wiring
+        # (batch 8 -> 2 x 4 scanned microbatches) through the full cycle
+        cfg = tiny_cfg(data_dir, tmp_path,
+                       extra=("training.grad_accum_steps=2",))
         from gpv_tpu.train.trainer import Trainer
         trainer = Trainer(cfg)
         results = trainer.train()

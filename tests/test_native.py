@@ -78,7 +78,7 @@ class TestNativeColorJitter:
         reference math for every op and random order/factors."""
         from gpv_tpu.datasets import transforms as T
 
-        if not T._NATIVE:
+        if T._native_jitter() is None:
             pytest.skip("native toolchain unavailable")
         img = np.random.RandomState(0).randint(
             0, 255, (64, 96, 3), np.uint8)
@@ -91,7 +91,7 @@ class TestNativeColorJitter:
     def test_native_grayscale_matches(self):
         from gpv_tpu.datasets import transforms as T
 
-        if not T._NATIVE:
+        if T._native_jitter() is None:
             pytest.skip("native toolchain unavailable")
         img = np.random.RandomState(1).randint(
             0, 255, (32, 48, 3), np.uint8)
