@@ -81,3 +81,52 @@ class TestServer:
         server.close()
         with pytest.raises(RuntimeError):
             server.submit(np.zeros((48, 64, 3), np.uint8), "q")
+
+
+class TestCollectScheduling:
+    """Deterministic tests of the batch-collection policy (no engine)."""
+
+    def _server(self, batch_size):
+        srv = GPVServer.__new__(GPVServer)
+        import queue as _q
+        import threading
+        srv.batch_size = batch_size
+        srv.max_wait_s = 0.01
+        srv._q = _q.Queue()
+        srv._pending = []
+        srv._pending_lock = threading.Lock()
+        return srv
+
+    @staticmethod
+    def _req(tag, mask):
+        from concurrent.futures import Future
+        return (tag, f"query-{tag}", mask, Future())
+
+    def test_deferred_minority_mask_served_next_batch(self):
+        """A mask-B request deferred during an A batch seeds the NEXT batch
+        (regression: re-queueing let a sustained A stream starve B)."""
+        ma = np.zeros((4,), np.float32)
+        mb = np.ones((4,), np.float32)
+        srv = self._server(batch_size=2)
+        for it in (self._req("a1", ma), self._req("b1", mb),
+                   self._req("a2", ma), self._req("a3", ma)):
+            srv._q.put(it)
+        first = srv._collect()
+        assert [it[0] for it in first] == ["a1", "a2"]
+        assert [it[0] for it in srv._pending] == ["b1"]
+        second = srv._collect()  # deferred b1 must come FIRST
+        assert [it[0] for it in second] == ["b1"]
+        third = srv._collect()
+        assert [it[0] for it in third] == ["a3"]
+
+    def test_same_mask_pending_items_batch_together(self):
+        ma = np.zeros((4,), np.float32)
+        mb = np.ones((4,), np.float32)
+        srv = self._server(batch_size=3)
+        srv._pending = [self._req("b1", mb), self._req("a1", ma),
+                        self._req("b2", mb)]
+        srv._q.put(self._req("b3", mb))
+        batch = srv._collect()
+        # b1 seeds; b2 joins from pending; b3 joins from the queue
+        assert [it[0] for it in batch] == ["b1", "b2", "b3"]
+        assert [it[0] for it in srv._pending] == ["a1"]
