@@ -657,3 +657,97 @@ class TestCriterionVsReference:
             batch, LossConfig())
         np.testing.assert_allclose(float(total), float(total_ref),
                                    rtol=1e-5, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# evaluators: reference CocoVqa / CocoClassification driven directly
+# (the third_party submodules they don't need here are stubbed empty)
+# ---------------------------------------------------------------------------
+
+def _install_eval_stubs():
+    for name in ("third_party", "third_party.pycocoevalcap",
+                 "third_party.pycocoevalcap.eval",
+                 "third_party.detection_metrics",
+                 "third_party.detection_metrics.lib",
+                 "third_party.detection_metrics.lib.Evaluator"):
+        _module(name)
+
+
+class TestEvaluatorsVsReference:
+    def _vqa_fixtures(self):
+        rng = np.random.RandomState(11)
+        samples, predictions = [], {}
+        answers = ["two", "three", "red", "yes"]
+        for i in range(40):
+            gt = answers[i % 4]
+            freq = int(rng.randint(1, 11))
+            unseen = ["dog"] if i % 5 == 0 else []
+            samples.append({
+                "question_id": 1000 + i,
+                "all_answers": {gt: freq, "other": 10 - freq},
+                "anno": {"answer_type": ["other", "number"][i % 2],
+                         "question_type": ["what", "how many"][i % 3 == 0]},
+                "coco_categories": {"seen": [], "unseen": unseen},
+            })
+            if i % 7 != 6:  # some predictions absent
+                pred = gt if rng.rand() < 0.6 else "wrong"
+                if rng.rand() < 0.3:
+                    pred = pred.upper()  # case-insensitivity path
+                predictions[str(1000 + i)] = {"answer": pred}
+        return samples, predictions
+
+    @pytest.mark.parametrize("novelty", ["everything", "seen_concepts",
+                                         "held_out_concepts"])
+    def test_vqa_soft_accuracy(self, novelty):
+        _install_eval_stubs()
+        from exp.gpv import evaluators as ref_eval
+
+        from gpv_tpu.evaluation import evaluators as our_eval
+
+        samples, predictions = self._vqa_fixtures()
+        ref = ref_eval.CocoVqa(samples, predictions, None).evaluate(novelty)
+        got = our_eval.CocoVqa(samples, predictions).evaluate(novelty)
+        assert got["absent"] == ref["absent"]
+        assert got["accuracy"]["all"] == ref["accuracy"]["all"]
+        assert dict(got["accuracy"]["answer_type"]) == dict(
+            ref["accuracy"]["answer_type"])
+        assert dict(got["accuracy"]["question_type"]) == dict(
+            ref["accuracy"]["question_type"])
+
+    def test_classification_synonym_credit(self):
+        _install_eval_stubs()
+        from exp.gpv import evaluators as ref_eval
+
+        from gpv_tpu.evaluation import evaluators as our_eval
+
+        rng = np.random.RandomState(12)
+        classes = ["dog", "person", "tv", "couch", "sports ball"]
+        samples, predictions = [], {}
+        # the reference scores against its curated SYNONYMS table; use it
+        # to build predictions that exercise the synonym-credit path
+        from data.coco.synonyms import SYNONYMS
+        for i in range(30):
+            cls = classes[i % len(classes)]
+            samples.append({
+                "id": 2000 + i, "answer": cls,
+                "coco_categories": {"seen": [cls], "unseen": []},
+            })
+            syns = SYNONYMS[cls]
+            if i % 6 == 5:
+                continue  # absent
+            if i % 3 == 0:
+                pred = syns[rng.randint(len(syns))]  # synonym credit
+            elif i % 3 == 1:
+                pred = cls
+            else:
+                pred = "zebra"  # wrong
+            predictions[str(2000 + i)] = {"answer": pred}
+
+        ref = ref_eval.CocoClassification(samples, predictions,
+                                          None).evaluate()
+        got = our_eval.CocoClassification(samples, predictions).evaluate()
+        assert got["absent"] == ref["absent"]
+        assert got["overall_correct"] == ref["overall_correct"]
+        assert got["overall_total"] == ref["overall_total"]
+        assert got["overall_accuracy"] == ref["overall_accuracy"]
+        assert dict(got["accuracy"]) == dict(ref["accuracy"])
