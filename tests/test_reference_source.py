@@ -751,3 +751,63 @@ class TestEvaluatorsVsReference:
         assert got["overall_total"] == ref["overall_total"]
         assert got["overall_accuracy"] == ref["overall_accuracy"]
         assert dict(got["accuracy"]) == dict(ref["accuracy"])
+
+
+# ---------------------------------------------------------------------------
+# vocab mask + box geometry driven from reference source
+# ---------------------------------------------------------------------------
+
+class TestVocabMaskVsReference:
+    def test_create_coco_vocab_mask(self):
+        _install_eval_stubs()
+        _module("imagesize")  # imported by metrics.py, unused by the mask fn
+        from exp.gpv import metrics as ref_metrics
+        # nltk's word_tokenize needs the punkt data (absent, zero egress);
+        # for single phrases it equals the pure TreebankWordTokenizer, which
+        # needs no data files — still genuine nltk tokenization
+        from nltk.tokenize.treebank import TreebankWordTokenizer
+        ref_metrics.word_tokenize = TreebankWordTokenizer().tokenize
+        create_coco_vocab_mask = ref_metrics.create_coco_vocab_mask
+
+        from gpv_tpu.infer.predictions import coco_vocab_mask
+        from gpv_tpu.text.vocab import AnswerVocab
+
+        # vocab mixing synonym tokens, multiword-synonym pieces, and noise
+        words = ["dog", "puppy", "pup", "ball", "sports", "zebra", "the",
+                 "remote", "control", "tv", "television", "xyzzy"]
+        vocab = AnswerVocab.debug(extra_words=words)
+        ref_model = NS(vocab=vocab.words,
+                       word_to_idx=vocab.word_to_idx)
+        for use_syns in (False, True):
+            _, ref_mask = create_coco_vocab_mask(ref_model,
+                                                 use_syns=use_syns)
+            got = coco_vocab_mask(vocab, use_syns=use_syns)
+            np.testing.assert_array_equal(got, ref_mask), use_syns
+
+
+class TestBoxOpsVsReference:
+    def test_giou_and_iou(self):
+        import utils.box_ops as ref_box_ops
+
+        from gpv_tpu.ops.boxes import (box_cxcywh_to_xyxy, box_iou,
+                                       generalized_box_iou)
+
+        torch.manual_seed(13)
+        a_c = torch.cat([0.3 + 0.4 * torch.rand(7, 2),
+                         0.05 + 0.3 * torch.rand(7, 2)], dim=-1)
+        b_c = torch.cat([0.3 + 0.4 * torch.rand(5, 2),
+                         0.05 + 0.3 * torch.rand(5, 2)], dim=-1)
+        a = ref_box_ops.box_cxcywh_to_xyxy(a_c)
+        b = ref_box_ops.box_cxcywh_to_xyxy(b_c)
+        with torch.no_grad():
+            giou_ref = ref_box_ops.generalized_box_iou(a, b)
+            iou_ref, _ = ref_box_ops.box_iou(a, b)
+
+        aj = box_cxcywh_to_xyxy(jnp.asarray(a_c.numpy()))
+        bj = box_cxcywh_to_xyxy(jnp.asarray(b_c.numpy()))
+        np.testing.assert_allclose(np.asarray(aj), a.numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(generalized_box_iou(aj, bj)),
+                                   giou_ref.numpy(), atol=1e-5)
+        iou_ours, _ = box_iou(aj, bj)
+        np.testing.assert_allclose(np.asarray(iou_ours),
+                                   iou_ref.numpy(), atol=1e-5)
