@@ -52,6 +52,13 @@ class Trainer:
     def __init__(self, cfg, finetune: bool = False):
         self.cfg = cfg
         self.finetune = finetune
+        cache_dir = cfg.tpu.get("compile_cache_dir")
+        if cache_dir:
+            # persistent XLA compile cache: a restarted/resumed run (or the
+            # phase-2 launch of train.sh) skips every unchanged executable
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1)
         self.dtype = (jnp.bfloat16
                       if str(cfg.tpu.dtype) == "bfloat16" else jnp.float32)
         self.mesh = mesh_from_config(cfg.tpu)

@@ -15,9 +15,15 @@ import numpy as np
 
 
 def build_engine(cfg):
+    import jax
     import jax.numpy as jnp
 
     from gpv_tpu.engine import GPVEngine
+
+    cache_dir = (cfg.get("tpu") or {}).get("compile_cache_dir")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     from gpv_tpu.text.vocab import AnswerVocab
     from gpv_tpu.text.wordpiece import WordPieceTokenizer
 
