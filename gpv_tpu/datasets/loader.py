@@ -82,7 +82,15 @@ class DataLoader:
     def __init__(self, dataset, collator: Collator, batch_size: int,
                  shuffle: bool = True, drop_last: bool = True,
                  num_workers: int = 8, seed: int = 0,
-                 prefetch: int = 4):
+                 prefetch: int = 4, num_shards: int = 1, shard_id: int = 0):
+        """`batch_size` is the GLOBAL batch; with num_shards > 1 (one shard
+        per host process) every process iterates the same seeded global
+        order and loads only its contiguous `batch_size // num_shards` rows
+        of each batch — the multi-host analogue of DistributedSampler
+        (reference train_distr.py:213-222), with rows laid out to match
+        `shard_batch`'s process-local assembly."""
+        assert batch_size % max(1, num_shards) == 0, (
+            f"global batch {batch_size} not divisible by {num_shards} shards")
         self.dataset = dataset
         self.collator = collator
         self.batch_size = batch_size
@@ -91,6 +99,8 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.num_shards = max(1, num_shards)
+        self.shard_id = shard_id
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -108,8 +118,13 @@ class DataLoader:
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
         nb = len(self)
-        return [order[i * self.batch_size:(i + 1) * self.batch_size]
-                for i in range(nb)]
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+        if self.num_shards > 1:
+            lb = self.batch_size // self.num_shards
+            batches = [b[self.shard_id * lb:(self.shard_id + 1) * lb]
+                       for b in batches]
+        return batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._batches()

@@ -44,14 +44,43 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def initialize_distributed(tpu_cfg) -> bool:
+    """Join a multi-host jax cluster if `tpu.distributed` is configured.
+
+    The reference is single-node only (`num_nodes: 1`,
+    configs/exp/gpv.yaml:8-17 upstream); this extends the DP story across
+    hosts: each host runs one process, `jax.devices()` becomes the global
+    device list, and `shard_batch` assembles per-process batch shards into
+    one global array. Returns True when distributed mode is active.
+    """
+    dist = tpu_cfg.get("distributed") if hasattr(tpu_cfg, "get") else None
+    if not dist or not dist.get("coordinator_address"):
+        return jax.process_count() > 1
+    jax.distributed.initialize(str(dist["coordinator_address"]),
+                               num_processes=int(dist["num_processes"]),
+                               process_id=int(dist["process_id"]))
+    return True
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict on device, sharded along axis 0.
 
     Single-device meshes use a plain device_put (matching the plain-jit
-    train step path — see parallel/train_step.py).
+    train step path — see parallel/train_step.py). On a multi-process
+    (multi-host) mesh each process passes its LOCAL rows of the global
+    batch; they are assembled into one globally-sharded array without any
+    cross-host data movement (rows live where they were produced).
     """
     if mesh.size == 1:
         dev = mesh.devices.reshape(-1)[0]
         return jax.tree.map(lambda x: jax.device_put(x, dev), batch)
     sh = batch_sharding(mesh)
+    n_proc = len({d.process_index for d in mesh.devices.flat})
+    if n_proc > 1:
+        def put(x):
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * n_proc, *x.shape[1:])
+            return jax.make_array_from_process_local_data(sh, x,
+                                                          global_shape)
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -27,7 +27,8 @@ from ..datasets.loader import Collator, DataLoader
 from ..engine import GPVEngine
 from ..losses.criterion import LossConfig
 from ..models.gpv import build_gpv
-from ..parallel.mesh import mesh_from_config, shard_batch
+from ..parallel.mesh import (initialize_distributed,
+                             mesh_from_config, shard_batch)
 from ..parallel.train_step import create_train_state, make_train_step
 from ..text.vocab import AnswerVocab
 from ..text.wordpiece import WordPieceTokenizer
@@ -61,6 +62,11 @@ class Trainer:
                               1)
         self.dtype = (jnp.bfloat16
                       if str(cfg.tpu.dtype) == "bfloat16" else jnp.float32)
+        # multi-host: join the cluster BEFORE the first backend touch so
+        # jax.devices() is global; rank-0-only side effects mirror the
+        # reference's DDP rank gating (train_distr.py:327-460)
+        initialize_distributed(cfg.tpu)
+        self.is_main = jax.process_index() == 0
         self.mesh = mesh_from_config(cfg.tpu)
 
         # vocab / tokenizer
@@ -92,7 +98,8 @@ class Trainer:
             s: DataLoader(d, self.collator, batch_size,
                           shuffle=(s == "train"),
                           num_workers=int(cfg.training.num_workers),
-                          seed=0)
+                          seed=0, num_shards=jax.process_count(),
+                          shard_id=jax.process_index())
             for s, d in self.datasets.items()}
 
         # model init + pretrained DETR
@@ -134,7 +141,7 @@ class Trainer:
         self.best_epoch = -1
 
         self.writer = None
-        if cfg.get("tb_dir"):
+        if cfg.get("tb_dir") and self.is_main:
             try:
                 from tensorboardX import SummaryWriter
                 self.writer = SummaryWriter(log_dir=str(cfg.tb_dir))
@@ -272,6 +279,9 @@ class Trainer:
 
         for epoch in range(self.last_epoch + 1, num_epochs):
             run_eval = (epoch % eval_every == 0) or (epoch == num_epochs - 1)
+            # rank-0-only eval/vis/ckpt, matching the reference's DDP
+            # rank gating (train_distr.py:327-394)
+            run_eval = run_eval and self.is_main
             if run_eval and (not launch
                              or cfg.training.get("run_eval_at_launch", True)):
                 results = self.evaluate("val")
@@ -284,7 +294,8 @@ class Trainer:
                     self.best_metric = sel
                     self.best_epoch = epoch
                     self.save(epoch, results)
-            if launch and cfg.training.get("run_vis_at_launch", True):
+            if launch and self.is_main and \
+                    cfg.training.get("run_vis_at_launch", True):
                 self.visualize("train", self.step)
             launch = False
 
@@ -320,9 +331,11 @@ class Trainer:
                         self.writer.add_scalar(
                             "train/steps_per_sec", timer.steps_per_sec(),
                             self.step)
-                if self.step % int(cfg.training.vis_step) == 0:
+                if self.step % int(cfg.training.vis_step) == 0 \
+                        and self.is_main:
                     self.visualize("train", self.step)
-                if self.step % int(cfg.training.ckpt_step) == 0:
+                if self.step % int(cfg.training.ckpt_step) == 0 \
+                        and self.is_main:
                     # rolling 'last' checkpoint for preemption recovery
                     # (beyond the reference, which only saves on metric
                     # improvement — SURVEY.md §5 failure detection: none)
@@ -330,7 +343,9 @@ class Trainer:
                                     {"epoch": epoch, "step": self.step},
                                     name="last")
 
-        # final eval + save
+        # final eval + save (rank 0; other hosts return empty results)
+        if not self.is_main:
+            return {}
         results = self.evaluate("val")
         if (results["model_selection_metric"] > self.best_metric
                 or self.best_epoch < 0):
