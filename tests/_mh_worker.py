@@ -60,3 +60,13 @@ sharded = shard_batch(local_batch, mesh)
 state, losses = step(state, sharded, jax.random.PRNGKey(1))
 print(f"MH_RESULT p{pid} total_loss={float(losses['total_loss']):.6f}",
       flush=True)
+
+# grad accumulation over the process-sharded global batch (GSPMD reshapes
+# the sharded leading axis into (k, B/k) microbatches)
+state2 = create_train_state(variables, optimizer)
+step2 = make_train_step(model, optimizer, LossConfig(), 0.1, mesh=mesh,
+                        donate=False, state_template=state2, grad_accum=2)
+state2, losses2 = step2(state2, shard_batch(local_batch, mesh),
+                        jax.random.PRNGKey(1))
+print(f"MH_ACCUM p{pid} total_loss={float(losses2['total_loss']):.6f}",
+      flush=True)

@@ -40,6 +40,14 @@ class TestMultiHostTrainStep:
             assert m, out[-2000:]
             losses.append(float(m.group(1)))
         assert losses[0] == pytest.approx(losses[1], abs=1e-5)
+        # grad-accum over the process-sharded batch ran and agreed too
+        accums = []
+        for out in outs:
+            m = re.search(r"MH_ACCUM p\d total_loss=([0-9.]+)", out)
+            assert m, out[-2000:]
+            accums.append(float(m.group(1)))
+        assert accums[0] == pytest.approx(accums[1], abs=1e-5)
+        assert np.isfinite(accums[0])
 
         # single-process 8-device reference value on the same batch
         import jax
