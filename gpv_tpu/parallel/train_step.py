@@ -41,7 +41,8 @@ def create_train_state(variables, optimizer) -> TrainState:
 def make_train_step(model, optimizer, loss_cfg: LossConfig,
                     clip_max_norm: float = 0.1,
                     mesh=None, donate: bool = True,
-                    state_template=None, grad_accum: int = 1) -> Callable:
+                    state_template=None, grad_accum: int = 1,
+                    freeze_detr: bool = False) -> Callable:
     """Build the jitted train step.
 
     batch dict fields (all static shapes, leading dim = global batch):
@@ -66,6 +67,14 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     """
 
     def loss_fn(params, batch_stats, batch, rng):
+        if freeze_detr:
+            # phase-1 frozen-DETR schedule: stop_gradient lets XLA ELIMINATE
+            # the entire backward through the DETR tower (the reference's
+            # requires_grad=False, train_distr.py:136-140 — its optimizer
+            # masking alone would still compute the gradients only to
+            # discard them). detr_joiner stays trainable.
+            params = dict(params)
+            params["detr"] = jax.lax.stop_gradient(params["detr"])
         batch = dict(batch)
         if batch["image"].dtype == jnp.uint8:
             # normalize IN-GRAPH: the loader ships uint8 (4x less host->

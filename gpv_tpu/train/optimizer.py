@@ -31,8 +31,14 @@ def param_group(path: tuple) -> str:
     name = "/".join(keys)
     if name.startswith("detr/backbone"):
         return "detr_backbone"
-    if "detr" in keys[0]:  # detr/* and detr_joiner
+    if keys[0] == "detr":
         return "detr_head"
+    if keys[0] == "detr_joiner":
+        # upstream this falls in the lr-group 'detr_head' ('detr' substring
+        # match, train_distr.py:237) with IDENTICAL lr/wd to 'others', is
+        # CLIPPED with the detr groups, but is NOT frozen in phase 1
+        # (freeze covers only the loaded `detr.*` keys, train_distr.py:136-140)
+        return "detr_joiner"
     if keys[0] == "bert":
         return "frozen"
     if keys[0] == "vocab_embed":
@@ -91,6 +97,10 @@ def build_optimizer(training_cfg, steps_per_epoch: int,
         "detr_backbone": optax.set_to_zero() if frozen_detr
         else adamw(lr_backbone),
         "detr_head": optax.set_to_zero() if frozen_detr else adamw(lr),
+        # the joiner keeps training in the frozen phase (reference freezes
+        # only the params loaded from the DETR checkpoint; the joiner is
+        # randomly initialized and MUST train in phase 1)
+        "detr_joiner": adamw(lr),
         "others": adamw(lr),
         "frozen": optax.set_to_zero(),
     }
@@ -106,7 +116,8 @@ def clip_detr_grads(grads, max_norm: float):
         return grads
 
     def is_detr(path):
-        return param_group(path) in ("detr_backbone", "detr_head")
+        return param_group(path) in ("detr_backbone", "detr_head",
+                                     "detr_joiner")
 
     flat = jax.tree_util.tree_leaves_with_path(grads)
     sq = sum(jnp.sum(jnp.square(g)) for p, g in flat

@@ -130,7 +130,8 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.optimizer, LossConfig.from_config(cfg.losses),
             float(cfg.training.clip_max_norm), mesh=self.mesh,
-            grad_accum=int(cfg.training.get("grad_accum_steps", 1)))
+            grad_accum=int(cfg.training.get("grad_accum_steps", 1)),
+            freeze_detr=bool(cfg.training.get("freeze", False)))
 
         self.engine = GPVEngine(self.model, variables, self.vocab,
                                 self.tokenizer)

@@ -68,9 +68,10 @@ def main():
             continue
         d = dict(x.split("=", 1) for x in a.split(","))
         configs.append((int(d["B"]), int(d.get("accum", 1)),
-                        bool(int(d.get("remat", 0)))))
+                        bool(int(d.get("remat", 0))),
+                        bool(int(d.get("freeze", 0)))))
     if not configs:
-        configs = [(16, 1, False)]
+        configs = [(16, 1, False, False)]
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
@@ -86,7 +87,7 @@ def main():
 
     prev_remat = None
     model = state = None
-    for B, accum, remat in configs:
+    for B, accum, remat, freeze in configs:
         if remat != prev_remat:
             model = GPV(vocab_size=10000, detr_cfg=detr_cfg,
                         remat=remat, dtype=jnp.bfloat16)
@@ -101,7 +102,8 @@ def main():
             state = create_train_state(variables, optimizer)
             prev_remat = remat
         step = make_train_step(model, optimizer, LossConfig(), 0.1,
-                               mesh=None, donate=False, grad_accum=accum)
+                               mesh=None, donate=False, grad_accum=accum,
+                               freeze_detr=freeze)
         batch = {k: jnp.asarray(v) for k, v in make_batch(B).items()}
         rng = jax.random.PRNGKey(1)
         t0 = time.perf_counter()
@@ -127,6 +129,7 @@ def main():
         mfu = TRAIN_FLOPS_PER_IMG * rate / 197e12  # v5e bf16 peak
         print(json.dumps({
             "B": B, "grad_accum": accum, "remat": remat,
+            "freeze": freeze,
             "ms_per_step": round(ms, 1), "img_per_sec": round(rate, 1),
             "compile_s": round(compile_s, 1),
             "est_train_mfu": round(mfu, 3),

@@ -48,7 +48,7 @@ class TestOptimizer:
     def test_param_groups(self):
         assert param_group(("detr", "backbone", "conv1", "kernel")) == "detr_backbone"
         assert param_group(("detr", "transformer", "x")) == "detr_head"
-        assert param_group(("detr_joiner", "kernel")) == "detr_head"
+        assert param_group(("detr_joiner", "kernel")) == "detr_joiner"
         assert param_group(("bert", "layer0", "x")) == "frozen"
         assert param_group(("vocab_embed",)) == "frozen"
         assert param_group(("co_att0", "dense1", "kernel")) == "others"
@@ -231,9 +231,12 @@ class TestTrainStep:
             jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
             jnp.asarray(batch["query_ids"]),
             jnp.asarray(batch["answer_ids"]), train=False)
-        optimizer = build_optimizer(training_cfg(freeze=True),
-                                    steps_per_epoch=10,
-                                    params=variables["params"])
+        # warmup off: the warmup schedule gives lr=0 at step 0, which
+        # would mask the regression being tested
+        optimizer = build_optimizer(
+            training_cfg(freeze=True, lr_warmup=False,
+                         lr_linear_decay=False),
+            steps_per_epoch=10, params=variables["params"])
         state = create_train_state(variables, optimizer)
         step = make_train_step(model, optimizer, LossConfig(), 0.1,
                                mesh=mesh, donate=False)
@@ -299,3 +302,75 @@ class TestGradAccumulation:
         state, losses = step(state, shard_batch(batch, mesh),
                              jax.random.PRNGKey(2))
         assert np.isfinite(float(losses["total_loss"]))
+
+
+class TestFrozenPhase:
+    def test_freeze_trains_joiner_but_not_detr(self):
+        """Phase-1 frozen-DETR: detr params must stay EXACTLY unchanged
+        while detr_joiner updates (regression: r1 froze the whole
+        'detr_head' group including the randomly-initialized joiner, which
+        the reference trains — train_distr.py:136-140 freezes only loaded
+        detr.* keys)."""
+        model = tiny_gpv()
+        batch = make_batch(B=8)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+            jnp.asarray(batch["query_ids"]),
+            jnp.asarray(batch["answer_ids"]), train=False)
+        # warmup off: the warmup schedule gives lr=0 at step 0, which
+        # would mask the regression being tested
+        optimizer = build_optimizer(
+            training_cfg(freeze=True, lr_warmup=False,
+                         lr_linear_decay=False),
+            steps_per_epoch=10, params=variables["params"])
+        state = create_train_state(variables, optimizer)
+        step = make_train_step(model, optimizer, LossConfig(), 0.1,
+                               mesh=None, donate=False, freeze_detr=True)
+        new_state, losses = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(losses["total_loss"]))
+
+        detr_delta = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.params["detr"], new_state.params["detr"])
+        assert max(jax.tree.leaves(detr_delta)) == 0.0, "detr moved"
+        joiner_delta = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.params["detr_joiner"], new_state.params["detr_joiner"])
+        assert max(jax.tree.leaves(joiner_delta)) > 0.0, (
+            "detr_joiner did not train in the frozen phase")
+        coatt_delta = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.params["co_att0"], new_state.params["co_att0"])
+        assert max(jax.tree.leaves(coatt_delta)) > 0.0
+
+    def test_frozen_grads_are_structurally_zero(self):
+        """stop_gradient makes the DETR grads exact zeros (XLA eliminates
+        the backward through the tower, the perf point of the change)."""
+        from gpv_tpu.losses.criterion import gpv_criterion
+
+        model = tiny_gpv()
+        batch = make_batch(B=4)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+            jnp.asarray(batch["query_ids"]),
+            jnp.asarray(batch["answer_ids"]), train=False)
+
+        def loss_fn(params):
+            p = dict(params)
+            p["detr"] = jax.lax.stop_gradient(p["detr"])
+            out = model.apply(
+                {"params": p,
+                 "batch_stats": variables.get("batch_stats", {})},
+                jnp.asarray(batch["image"], jnp.float32),
+                jnp.asarray(batch["query_ids"]),
+                jnp.asarray(batch["answer_ids"]),
+                query_valid=jnp.asarray(batch["query_valid"]), train=False)
+            total, _ = gpv_criterion(out, {
+                k: jnp.asarray(v) for k, v in batch.items()}, LossConfig())
+            return total
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        assert all(float(jnp.max(jnp.abs(g))) == 0.0
+                   for g in jax.tree.leaves(grads["detr"]))
+        assert any(float(jnp.max(jnp.abs(g))) > 0.0
+                   for g in jax.tree.leaves(grads["detr_joiner"]))
