@@ -126,13 +126,15 @@ def main():
 
         ms = 1000 * min(times)
         rate = B / min(times)
-        mfu = TRAIN_FLOPS_PER_IMG * rate / 197e12  # v5e bf16 peak
+        # NOTE: the FLOPs/img constant assumes a FULL backward; frozen-
+        # phase rows skip the DETR backward, so mfu is not meaningful there
+        mfu = None if freeze else TRAIN_FLOPS_PER_IMG * rate / 197e12
         print(json.dumps({
             "B": B, "grad_accum": accum, "remat": remat,
             "freeze": freeze,
             "ms_per_step": round(ms, 1), "img_per_sec": round(rate, 1),
             "compile_s": round(compile_s, 1),
-            "est_train_mfu": round(mfu, 3),
+            "est_train_mfu": None if mfu is None else round(mfu, 3),
             "total_loss": round(float(losses["total_loss"]), 3),
             "all_ms": [round(1000 * t, 1) for t in times],
         }), flush=True)
