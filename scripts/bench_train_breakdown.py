@@ -1,6 +1,8 @@
 """Decompose the full train step's time: fwd / fwd+loss / +bwd / +optimizer,
-plus the matcher alone (VERDICT r1 weak #3 follow-up: where do the B=120
-step's 520 ms go?). Prints one JSON row per stage."""
+plus the on-device Hungarian matcher alone (20 scanned iterations to
+amortize the relay's ~29 ms synchronous RTT floor — see BASELINE.md).
+Prints one JSON row per stage; subtract the RTT floor from the synchronous
+stage numbers for device time."""
 import json
 import os
 import sys
@@ -117,6 +119,31 @@ def main():
         return losses["total_loss"]
 
     timeit("full_step", full, state, batch, rng)
+
+    # matcher alone, 20 scanned iterations (amortizes the relay RTT floor)
+    from gpv_tpu.ops.matcher import hungarian_match
+
+    @jax.jit
+    def matcher20(logits, boxes, tl, tb, valid):
+        def body(c, i):
+            q4t = hungarian_match(logits + i * 1e-6, boxes, tl, tb, valid)
+            return c + jnp.sum(q4t), None
+        c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(20))
+        return c
+
+    rngm = np.random.RandomState(0)
+    Q, M = 100, 8
+    margs = (jnp.asarray(rngm.randn(B, Q, 2).astype(np.float32)),
+             jnp.asarray((0.3 + 0.4 * rngm.rand(B, Q, 4)).astype(np.float32)),
+             jnp.zeros((B, M), jnp.int32),
+             jnp.asarray((0.3 + 0.4 * rngm.rand(B, M, 4)).astype(np.float32)),
+             jnp.asarray(np.tile([True] * 5 + [False] * 3, (B, 1))))
+    int(matcher20(*margs))
+    t0 = time.perf_counter()
+    int(matcher20(*margs))
+    per = (time.perf_counter() - t0) / 20
+    print(json.dumps({"stage": "matcher_amortized", "B": B,
+                      "ms": round(1000 * per, 2)}), flush=True)
 
 
 if __name__ == "__main__":
