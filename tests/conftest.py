@@ -22,3 +22,9 @@ jax.config.update("jax_platforms", "cpu")
 # compiles (matcher while_loops, tiny-GPV graphs)
 jax.config.update("jax_compilation_cache_dir", "/tmp/gpv_tpu_test_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (mesh recompiles, e2e trainer, "
+        "multi-process cluster); deselect with -m 'not slow'")

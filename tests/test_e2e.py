@@ -150,6 +150,7 @@ class TestDatasets:
         assert "two" in seen  # freq 7 dominates
 
 
+@pytest.mark.slow
 class TestTrainerE2E:
     def test_train_eval_checkpoint_cycle(self, data_dir, tmp_path):
         # grad_accum_steps exercises the trainer's microbatch wiring

@@ -18,6 +18,7 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.slow
 class TestMultiHostTrainStep:
     def test_two_process_step_matches_single_process(self):
         """Both processes compute the SAME finite loss, equal to the

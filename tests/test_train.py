@@ -61,6 +61,7 @@ class TestOptimizer:
         assert float(s(100)) == 0.0
 
 
+@pytest.mark.slow
 class TestTrainStep:
     @pytest.fixture(scope="class")
     def setup(self):
@@ -248,6 +249,7 @@ class TestTrainStep:
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 class TestGradAccumulation:
     def test_accum_matches_single_step_with_uniform_microbatches(self):
         """grad_accum=2 over a batch whose halves have identical task
@@ -304,6 +306,7 @@ class TestGradAccumulation:
         assert np.isfinite(float(losses["total_loss"]))
 
 
+@pytest.mark.slow
 class TestFrozenPhase:
     def test_freeze_trains_joiner_but_not_detr(self):
         """Phase-1 frozen-DETR: detr params must stay EXACTLY unchanged
