@@ -30,6 +30,27 @@ def coco_vocab_mask(vocab, use_syns: bool = False) -> np.ndarray:
     return vocab.make_mask(words)
 
 
+def iter_padded_batches(dataset, batch_size: int, max_samples=None,
+                        rng=None):
+    """Yield (items, n_real) with len(items) == batch_size for EVERY batch.
+
+    The final partial batch is padded by repeating its last item — the same
+    policy as `serve.py` — so one compiled executable serves the whole
+    dataset regardless of divisibility (a trailing odd-size batch would
+    otherwise trigger a second XLA compile per task)."""
+    if rng is None:
+        rng = np.random.RandomState(0)
+    n = len(dataset) if max_samples is None else min(len(dataset),
+                                                     max_samples)
+    for start in range(0, n, batch_size):
+        items = [dataset.get(i, rng)
+                 for i in range(start, min(start + batch_size, n))]
+        n_real = len(items)
+        while len(items) < batch_size:
+            items.append(items[-1])
+        yield items, n_real
+
+
 def update_samples_with_image_size(image_dir, samples):
     from ..datasets.coco import coco_image_path
     from PIL import Image
@@ -67,15 +88,11 @@ def make_predictions(engine: GPVEngine, dataset, task: str,
     boxes_path = eval_dir / f"{task}_{subset}_boxes.h5py"
     boxes_h5 = h5py.File(boxes_path, "w")
     predictions = {}
-    rng = np.random.RandomState(0)
-    n = len(dataset)
     cnt = 0
-    num_batches = (n + batch_size - 1) // batch_size
-    for bi in range(num_batches):
-        if num_eval_batches is not None and bi > num_eval_batches:
+    for bi, (items, n_real) in enumerate(
+            iter_padded_batches(dataset, batch_size)):
+        if num_eval_batches is not None and bi >= num_eval_batches:
             break
-        idxs = range(bi * batch_size, min((bi + 1) * batch_size, n))
-        items = [dataset.get(i, rng) for i in idxs]
         images = np.stack([it["image"] for it in items])
         queries = [it["query"] for it in items]
         if beam_size and beam_size > 1:
@@ -88,7 +105,7 @@ def make_predictions(engine: GPVEngine, dataset, task: str,
                     for b in bouts]
         else:
             outs = engine.predict(images, queries, vocab_mask)
-        for it, out in zip(items, outs):
+        for it, out in zip(items[:n_real], outs[:n_real]):
             sample_id = it["sample"][id_field]
             predictions[sample_id] = {"answer": out["answer"]}
             if "all_answers" in out:
@@ -137,14 +154,10 @@ def compute_vqa_test_predictions(engine, dataset, batch_size,
     """Eval-server format: [{'question_id', 'answer'}] (reference
     compute_vqa_test_predictions.py:29-67)."""
     results = []
-    rng = np.random.RandomState(0)
-    n = len(dataset)
-    for bi in range((n + batch_size - 1) // batch_size):
-        items = [dataset.get(i, rng)
-                 for i in range(bi * batch_size, min((bi + 1) * batch_size, n))]
+    for items, n_real in iter_padded_batches(dataset, batch_size):
         images = np.stack([it["image"] for it in items])
         outs = engine.predict(images, [it["query"] for it in items])
-        for it, out in zip(items, outs):
+        for it, out in zip(items[:n_real], outs[:n_real]):
             results.append({"question_id": it["sample"]["question_id"],
                             "answer": out["answer"]})
     Path(out_path).write_text(json.dumps(results))
@@ -156,14 +169,10 @@ def compute_cap_test_predictions(engine, dataset, batch_size,
     """Eval-server format: [{'image_id', 'caption'}] (reference
     compute_cap_test_predictions.py:85-113)."""
     results = []
-    rng = np.random.RandomState(0)
-    n = len(dataset)
-    for bi in range((n + batch_size - 1) // batch_size):
-        items = [dataset.get(i, rng)
-                 for i in range(bi * batch_size, min((bi + 1) * batch_size, n))]
+    for items, n_real in iter_padded_batches(dataset, batch_size):
         images = np.stack([it["image"] for it in items])
         outs = engine.predict(images, [it["query"] for it in items])
-        for it, out in zip(items, outs):
+        for it, out in zip(items[:n_real], outs[:n_real]):
             results.append({"image_id": it["sample"]["image"]["image_id"],
                             "caption": out["answer"]})
     Path(out_path).write_text(json.dumps(results))

@@ -56,6 +56,15 @@ def initialize_distributed(tpu_cfg) -> bool:
     dist = tpu_cfg.get("distributed") if hasattr(tpu_cfg, "get") else None
     if not dist or not dist.get("coordinator_address"):
         return jax.process_count() > 1
+    missing = [k for k in ("num_processes", "process_id")
+               if dist.get(k) is None]
+    if missing:
+        raise ValueError(
+            "tpu.distributed needs coordinator_address, num_processes and "
+            f"process_id; missing: {missing} (got {dict(dist)})")
+    # a second Trainer in one process (tests, notebooks) must not re-join
+    if jax.process_count() > 1 or jax.distributed.is_initialized():
+        return True
     jax.distributed.initialize(str(dist["coordinator_address"]),
                                num_processes=int(dist["num_processes"]),
                                process_id=int(dist["process_id"]))

@@ -18,24 +18,24 @@ from ..engine import GPVEngine
 from ..evaluation.evaluators import (CocoCaptioning as CapEvaluator,
                                      coco_synonyms)
 from ..evaluation.voc_ap import voc_ap
-from ..infer.predictions import coco_vocab_mask
+from ..infer.predictions import coco_vocab_mask, iter_padded_batches
 
 
 def _iter_batches(dataset, batch_size: int, max_samples: int):
-    rng = np.random.RandomState(0)
-    n = min(len(dataset), max_samples)
-    for start in range(0, n, batch_size):
-        idxs = range(start, min(start + batch_size, n))
-        yield [dataset.get(i, rng) for i in idxs]
+    # Final partial batch is padded by repetition (one compiled executable
+    # per task eval); callers get only the real items.
+    for items, n_real in iter_padded_batches(dataset, batch_size,
+                                             max_samples):
+        yield items, n_real
 
 
 def vqa_accuracy(engine: GPVEngine, dataset, batch_size: int,
                  max_samples: int) -> float:
     correct = total = 0
-    for items in _iter_batches(dataset, batch_size, max_samples):
+    for items, n_real in _iter_batches(dataset, batch_size, max_samples):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items])
-        for it, out in zip(items, outs):
+        for it, out in zip(items[:n_real], outs[:n_real]):
             answers = it["sample"].get("all_answers", {})
             if out["answer"] in answers:
                 correct += min(answers[out["answer"]] / 3, 1)
@@ -48,10 +48,10 @@ def cls_metrics(engine: GPVEngine, dataset, batch_size: int,
     syn = coco_synonyms()
     mask = coco_vocab_mask(engine.vocab, use_syns=True)
     correct = total = 0
-    for items in _iter_batches(dataset, batch_size, max_samples):
+    for items, n_real in _iter_batches(dataset, batch_size, max_samples):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items], mask)
-        for it, out in zip(items, outs):
+        for it, out in zip(items[:n_real], outs[:n_real]):
             gt = it["sample"]["answer"]
             if out["answer"] in syn.get(gt, [gt]):
                 correct += 1
@@ -64,10 +64,10 @@ def cap_metrics(engine: GPVEngine, dataset, batch_size: int,
                 max_samples: int) -> Dict:
     predictions = {}
     used_samples = []
-    for items in _iter_batches(dataset, batch_size, max_samples):
+    for items, n_real in _iter_batches(dataset, batch_size, max_samples):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items])
-        for it, out in zip(items, outs):
+        for it, out in zip(items[:n_real], outs[:n_real]):
             sample = it["sample"]
             used_samples.append(sample)
             predictions[str(sample["cap_id"])] = {"answer": out["answer"]}
@@ -82,10 +82,10 @@ def _box_map(engine: GPVEngine, dataset, batch_size: int,
     """Shared det/refexp subsampled mAP (reference det_metrics/
     refexp_metrics write temp HDF5; we keep boxes in memory)."""
     aps = []
-    for items in _iter_batches(dataset, batch_size, max_samples):
+    for items, n_real in _iter_batches(dataset, batch_size, max_samples):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items])
-        for it, out in zip(items, outs):
+        for it, out in zip(items[:n_real], outs[:n_real]):
             if "boxes" not in it:
                 continue
             # predictions normalized cxcywh -> xywh

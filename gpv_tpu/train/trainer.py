@@ -186,8 +186,27 @@ class Trainer:
         self.best_epoch = int(meta.get("epoch", -1))
 
     def _eval_variables(self):
-        return {"params": self.state.params,
-                "batch_stats": self.state.batch_stats}
+        """Variables for rank-0 eval/vis.
+
+        On a multi-process mesh, state.params after the first jitted step
+        are GLOBAL arrays spanning non-addressable devices: a single-process
+        jit dispatch over them deadlocks (every process must participate)
+        and even eager ops (engine's fold_frozen_bn) are rejected. They are
+        fully replicated (out_shardings=P()), so each process's shard 0
+        already holds the complete value — materialize that local replica
+        to host numpy and let the engine run on this process's devices
+        alone. Matches the reference's rank-0 eval with rank-local weights
+        (train_distr.py:327-394).
+        """
+        params, stats = self.state.params, self.state.batch_stats
+        if jax.process_count() > 1:
+            def local(x):
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    return np.asarray(x.addressable_data(0))
+                return x
+            params = jax.tree.map(local, params)
+            stats = jax.tree.map(local, stats)
+        return {"params": params, "batch_stats": stats}
 
     # ------------------------------------------------------------------
 

@@ -227,6 +227,20 @@ class TestTrainerE2E:
         assert "everything" in metrics
         assert "accuracy" in metrics["everything"]
 
+        # Static-shape guarantee: the 6-sample/batch-4 eval above is
+        # non-divisible; the trailing batch pads by repetition so ONE
+        # compiled greedy executable serves the whole dataset (a second
+        # entry would mean a per-dataset-size recompile).
+        assert engine._greedy._cache_size() == 1
+
+        # num_eval_batches caps the batch count EXACTLY (the reference's
+        # num_val_samples accounting; was off by one)
+        preds_cap, _, _ = make_predictions(
+            engine, ds, "CocoVqa", 4, tmp_path / "eval_cap1", "val",
+            num_eval_batches=1)
+        assert len(preds_cap) == 4
+        assert engine._greedy._cache_size() == 1
+
         # beam-search eval path (BASELINE config #4): top beam scored,
         # all K answers + probs recorded
         preds_b, _, _ = make_predictions(
