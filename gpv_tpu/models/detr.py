@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from ..nn.detr_transformer import DetrTransformer
 from ..nn.layers import MLP
 from ..nn.resnet import ResNet
-from ..ops.posenc import sine_position_embedding_2d
+from ..ops.posenc import (LearnedPositionEmbedding2D,
+                          sine_position_embedding_2d)
 from ..ops.roi_align import roi_align_mean_pooled
 
 
@@ -42,6 +43,8 @@ class DETR(nn.Module):
     roi_head: bool = True
     roi_pooled: int = 7
     roi_max_grid: int = 8
+    position_embedding: str = "sine"  # 'sine'/'v2' or 'learned'/'v3'
+    pre_norm: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -71,8 +74,19 @@ class DETR(nn.Module):
             xs = (jnp.arange(w) * (W / w)).astype(jnp.int32)
             feat_valid = image_valid[:, ys][:, :, xs]
 
-        pos = sine_position_embedding_2d(
-            feat_valid, num_pos_feats=self.hidden_dim // 2)  # (B,h,w,256)
+        if self.position_embedding in ("sine", "v2"):
+            pos = sine_position_embedding_2d(
+                feat_valid, num_pos_feats=self.hidden_dim // 2)  # (B,h,w,256)
+        elif self.position_embedding in ("learned", "v3"):
+            pos = LearnedPositionEmbedding2D(
+                num_pos_feats=self.hidden_dim // 2,
+                name="position_embedding")(B, h, w)
+        else:
+            # same loud rejection as the reference builder
+            # (position_encoding.py:86-87)
+            raise ValueError(
+                f"not supported {self.position_embedding!r} "
+                "(expected sine/v2 or learned/v3)")
 
         src = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype,
                       name="input_proj")(feats)
@@ -91,6 +105,7 @@ class DETR(nn.Module):
             num_decoder_layers=self.num_decoder_layers,
             ffn_dim=self.dim_feedforward, dropout=self.dropout,
             return_intermediate=True, remat=self.remat, dtype=self.dtype,
+            pre_norm=self.pre_norm,
             name="transformer")(src, pos, query_embed, key_valid,
                                 deterministic=not train)
         # (L, B, Q, D) -> keep only the final layer unless aux supervision
@@ -144,4 +159,6 @@ def detr_from_config(cfg, roi_head: bool, dtype=jnp.float32) -> DETR:
         last_layer_only=cfg.last_layer_only,
         aux_loss=cfg.aux_loss,
         roi_head=roi_head,
+        position_embedding=str(cfg.get("position_embedding", "sine")),
+        pre_norm=bool(cfg.get("pre_norm", False)),
         dtype=dtype)

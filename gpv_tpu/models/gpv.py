@@ -52,9 +52,14 @@ class GPV(nn.Module):
     co_att_num_layers: int = 3
     co_att_heads: int = 16
     co_att_intermediate: int = 3072
+    # extra per-stream CoAttentionLayer kwargs (intermediate2/dropout2/
+    # attn_dropout{,2}/act{,2}); None keys tie to stream 1 like the
+    # reference's interpolated config
+    co_att_extra: Dict[str, Any] = None
     dropout: float = 0.1
     text_decoder_layers: int = 3
     text_decoder_heads: int = 8
+    text_decoder_dropout: Optional[float] = None  # None -> self.dropout
     detr_cfg: Dict[str, Any] = None
     roi_head: bool = True
     bert_layers: int = 12
@@ -81,16 +86,20 @@ class GPV(nn.Module):
         # static_argnums counts the module at 0; `deterministic` is arg 5
         CoAtt = nn.remat(CoAttentionLayer, static_argnums=(5,)) \
             if self.remat else CoAttentionLayer
+        co_att_kwargs = dict(dropout=self.dropout)
+        co_att_kwargs.update(self.co_att_extra or {})
         self.co_att = [
             CoAtt(self.hidden_dim, self.co_att_heads,
-                  self.co_att_intermediate, self.dropout,
-                  self.dtype, name=f"co_att{i}")
+                  self.co_att_intermediate,
+                  dtype=self.dtype, name=f"co_att{i}", **co_att_kwargs)
             for i in range(self.co_att_num_layers)]
         num_classes = detr_kwargs.get("num_classes", 1)
         self.relevance_predictor = nn.Dense(num_classes + 1, dtype=self.dtype)
         self.text_decoder = TextDecoder(
             dim=self.hidden_dim, num_heads=self.text_decoder_heads,
-            num_layers=self.text_decoder_layers, dropout=self.dropout,
+            num_layers=self.text_decoder_layers,
+            dropout=(self.dropout if self.text_decoder_dropout is None
+                     else self.text_decoder_dropout),
             dtype=self.dtype)
         # answer machinery: fixed vocab embedding + learned transforms
         self.vocab_embed = self.param(
@@ -257,9 +266,74 @@ class GPV(nn.Module):
         return self.text_decoder.init_cache(batch, self.max_text_len)
 
 
+_BACKBONE_LAYERS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
+                    "resnet152": (3, 8, 36, 3), "resnet26": (2, 2, 2, 2),
+                    "resnet14": (1, 1, 1, 1)}
+
+
+def _check_co_att(cfg):
+    """Map the ViLBERT co_att schema onto CoAttentionLayer kwargs.
+
+    The reference routes stream1 (text in GPV's call order) through the
+    'v_*' weights and stream2 through the plain ones (vilbert.py:827-900,
+    an upstream quirk GPV inherits); the mapping below preserves it.
+    Structural unties (per-stream hidden sizes) are not representable and
+    raise instead of being silently ignored.
+    """
+    co = cfg.co_att
+    hd = int(cfg.hidden_dim)
+    for key in ("bi_hidden_size", "hidden_size", "v_hidden_size",
+                "output_size", "v_output_size"):
+        val = co.get(key)
+        if val is not None and int(val) != hd:
+            raise ValueError(
+                f"model.co_att.{key}={val} != model.hidden_dim={hd}: untied "
+                "co-attention stream widths are not supported (GPV always "
+                "ties them — reference configs/exp/gpv.yaml interpolations)")
+    for key in ("hidden_act", "v_hidden_act"):
+        act = co.get(key, "gelu")
+        if act not in ("gelu", "relu", "swish"):
+            raise ValueError(f"model.co_att.{key}={act!r}: unsupported "
+                             "co-attention activation (gelu/relu/swish)")
+    dflt = float(cfg.detr.dropout)
+    extra = dict(
+        intermediate2=int(co.get("intermediate_size", 3072)),
+        dropout2=float(co.get("hidden_dropout_prob", dflt)),
+        attn_dropout=float(co.get("v_attention_probs_dropout_prob", dflt)),
+        attn_dropout2=float(co.get("attention_probs_dropout_prob", dflt)),
+        act=str(co.get("v_hidden_act", "gelu")),
+        act2=str(co.get("hidden_act", "gelu")),
+        dropout=float(co.get("v_hidden_dropout_prob", dflt)),
+    )
+    intermediate = int(co.get("v_intermediate_size",
+                              co.get("intermediate_size", 3072)))
+    return intermediate, extra
+
+
 def build_gpv(cfg, vocab_size: int, dtype=jnp.float32,
               remat: bool = False) -> GPV:
     """Build from the `model` config node (configs/exp/gpv.yaml schema)."""
+    if cfg.detr.get("masks"):
+        raise ValueError(
+            "model.detr.masks=True (DETR segmentation head) is not part of "
+            "GPV (the reference never trains it; detr.py builds DETRsegm "
+            "only for panoptic) — unsupported here")
+    if cfg.detr.get("frozenbatchnorm", True) is False:
+        raise ValueError(
+            "model.detr.frozenbatchnorm=False is not supported: the "
+            "backbone is built around FrozenBN (reference backbone.py "
+            "always freezes BN for GPV; serving-path BN folding depends "
+            "on it)")
+    backbone = str(cfg.detr.get("backbone", "resnet50"))
+    if backbone not in _BACKBONE_LAYERS:
+        raise ValueError(f"model.detr.backbone={backbone!r} not supported "
+                         f"(one of {sorted(_BACKBONE_LAYERS)})")
+    pe = str(cfg.detr.get("position_embedding", "sine"))
+    if pe not in ("sine", "v2", "learned", "v3"):
+        # fail at build, not first forward (reference builder behavior,
+        # position_encoding.py:86-87)
+        raise ValueError(f"model.detr.position_embedding={pe!r} not "
+                         "supported (sine/v2 or learned/v3)")
     if cfg.roi_head and not cfg.detr.last_layer_only:
         # this combination crashes the reference in training:
         # torch.cat((roi_features, hs), -1) with (1,B,Q,2048) vs (L,B,Q,256)
@@ -282,11 +356,50 @@ def build_gpv(cfg, vocab_size: int, dtype=jnp.float32,
         dilation=cfg.detr.dilation,
         last_layer_only=cfg.detr.last_layer_only,
         aux_loss=cfg.detr.aux_loss,
+        position_embedding=str(cfg.detr.get("position_embedding", "sine")),
+        pre_norm=bool(cfg.detr.get("pre_norm", False)),
     )
     if cfg.detr.get("backbone_layers"):
+        # explicit block spec (tests / custom depths) wins over the name
         detr_cfg["backbone_layers"] = tuple(
             int(x) for x in cfg.detr.backbone_layers)
+    elif backbone != "resnet50":
+        detr_cfg["backbone_layers"] = _BACKBONE_LAYERS[backbone]
     bert_cfg = cfg.get("bert") or {}
+    co_att_intermediate, co_att_extra = _check_co_att(cfg)
+    if cfg.co_att.get("visualization"):
+        raise ValueError(
+            "model.co_att.visualization=True (return attention-probability "
+            "maps from fusion, vilbert.py:786-800) is not implemented; "
+            "unset it rather than silently losing the diagnostics")
+    hd = int(cfg.hidden_dim)
+    td_hidden = int(cfg.text_decoder.get("hidden_dim", hd))
+    if td_hidden != hd:
+        raise ValueError(
+            f"model.text_decoder.hidden_dim={td_hidden} != "
+            f"model.hidden_dim={hd}: the decoder width is tied to the "
+            "fusion width (reference gpv.yaml interpolation)")
+    # joiner dims: flax infers input widths from data, so a wrong value
+    # here would otherwise be silently ignored (upstream it sizes the
+    # nn.Linear and crashes on mismatch, gpv.py:90-95)
+    exp_detr_dim = int(cfg.detr.hidden_dim) + (2048 if cfg.roi_head else 0)
+    joiner = cfg.get("detr_joiner") or {}
+    jd = joiner.get("detr_dim")
+    if jd is not None and int(jd) != exp_detr_dim:
+        raise ValueError(
+            f"model.detr_joiner.detr_dim={jd} but the DETR stream emits "
+            f"{exp_detr_dim} features (detr.hidden_dim"
+            f"{' + 2048 RoI' if cfg.roi_head else ''})")
+    for node, key, want, why in (
+            ("detr_joiner", "out_dim", hd, "fusion width"),
+            ("bert_joiner", "out_dim", hd, "fusion width"),
+            ("bert_joiner", "bert_dim",
+             int((cfg.get("bert") or {}).get("hidden", 768)),
+             "BERT hidden size")):
+        val = (cfg.get(node) or {}).get(key)
+        if val is not None and int(val) != want:
+            raise ValueError(f"model.{node}.{key}={val} != {want} "
+                             f"({why})")
     return GPV(
         vocab_size=vocab_size,
         hidden_dim=cfg.hidden_dim,
@@ -298,10 +411,13 @@ def build_gpv(cfg, vocab_size: int, dtype=jnp.float32,
         answer_head=cfg.answer_head,
         co_att_num_layers=cfg.co_att.num_layers,
         co_att_heads=cfg.co_att.bi_num_attention_heads,
-        co_att_intermediate=cfg.co_att.intermediate_size,
+        co_att_intermediate=co_att_intermediate,
+        co_att_extra=co_att_extra,
         dropout=cfg.detr.dropout,
         text_decoder_layers=cfg.text_decoder.num_layers,
         text_decoder_heads=cfg.text_decoder.nheads,
+        text_decoder_dropout=float(
+            cfg.text_decoder.get("dropout", cfg.detr.dropout)),
         detr_cfg=detr_cfg,
         roi_head=cfg.roi_head,
         bert_layers=int(bert_cfg.get("num_layers", 12)),

@@ -21,20 +21,33 @@ class EncoderLayer(nn.Module):
     ffn_dim: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    pre_norm: bool = False  # reference forward_pre (transformer.py:162-174)
 
     @nn.compact
     def __call__(self, src, pos, key_valid=None, deterministic=True):
+        attn_mod = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                      self.dtype, name="self_attn")
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        linear1 = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")
+        linear2 = nn.Dense(self.dim, dtype=self.dtype, name="linear2")
+
+        def drop(x):
+            return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+        if self.pre_norm:
+            x = norm1(src)
+            q = k = x + pos
+            src = src + drop(attn_mod(q, k, x, key_valid=key_valid,
+                                      deterministic=deterministic))
+            x = norm2(src)
+            return src + drop(linear2(drop(nn.relu(linear1(x)))))
         q = k = src + pos
-        attn = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
-                                  self.dtype, name="self_attn")(
-            q, k, src, key_valid=key_valid, deterministic=deterministic)
-        src = src + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
-        ff = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(src)
-        ff = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(ff))
-        ff = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(ff)
-        src = src + nn.Dropout(self.dropout, deterministic=deterministic)(ff)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        attn = attn_mod(q, k, src, key_valid=key_valid,
+                        deterministic=deterministic)
+        src = norm1(src + drop(attn))
+        ff = linear2(drop(nn.relu(linear1(src))))
+        return norm2(src + drop(ff))
 
 
 class DecoderLayer(nn.Module):
@@ -43,27 +56,44 @@ class DecoderLayer(nn.Module):
     ffn_dim: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    pre_norm: bool = False  # reference forward_pre (transformer.py:235-260)
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos, mem_pos, mem_valid=None,
                  deterministic=True):
+        self_attn = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
+                                       self.dtype, name="self_attn")
+        cross_attn = MultiHeadAttention(self.dim, self.num_heads,
+                                        self.dropout, self.dtype,
+                                        name="cross_attn")
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+        linear1 = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")
+        linear2 = nn.Dense(self.dim, dtype=self.dtype, name="linear2")
+
+        def drop(x):
+            return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+        if self.pre_norm:
+            x = norm1(tgt)
+            q = k = x + query_pos
+            tgt = tgt + drop(self_attn(q, k, x,
+                                       deterministic=deterministic))
+            x = norm2(tgt)
+            tgt = tgt + drop(cross_attn(x + query_pos, memory + mem_pos,
+                                        memory, key_valid=mem_valid,
+                                        deterministic=deterministic))
+            x = norm3(tgt)
+            return tgt + drop(linear2(drop(nn.relu(linear1(x)))))
         q = k = tgt + query_pos
-        sa = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
-                                self.dtype, name="self_attn")(
-            q, k, tgt, deterministic=deterministic)
-        tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(sa)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
-        ca = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
-                                self.dtype, name="cross_attn")(
-            tgt + query_pos, memory + mem_pos, memory,
-            key_valid=mem_valid, deterministic=deterministic)
-        tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(ca)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
-        ff = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
-        ff = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(ff))
-        ff = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(ff)
-        tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(ff)
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        sa = self_attn(q, k, tgt, deterministic=deterministic)
+        tgt = norm1(tgt + drop(sa))
+        ca = cross_attn(tgt + query_pos, memory + mem_pos, memory,
+                        key_valid=mem_valid, deterministic=deterministic)
+        tgt = norm2(tgt + drop(ca))
+        ff = linear2(drop(nn.relu(linear1(tgt))))
+        return norm3(tgt + drop(ff))
 
 
 class DetrTransformer(nn.Module):
@@ -77,6 +107,7 @@ class DetrTransformer(nn.Module):
     return_intermediate: bool = True
     remat: bool = False  # rematerialize layers (memory <-> flops trade)
     dtype: jnp.dtype = jnp.float32
+    pre_norm: bool = False
 
     @nn.compact
     def __call__(self, src, pos, query_embed, key_valid=None,
@@ -92,9 +123,14 @@ class DetrTransformer(nn.Module):
         memory = src
         for i in range(self.num_encoder_layers):
             memory = Enc(self.dim, self.num_heads, self.ffn_dim,
-                         self.dropout, self.dtype,
+                         self.dropout, self.dtype, self.pre_norm,
                          name=f"encoder_layer{i}")(
                 memory, pos, key_valid, deterministic)
+        if self.pre_norm:
+            # pre-norm encoders end un-normalized; the reference adds a
+            # final encoder LayerNorm (transformer.py:27)
+            memory = nn.LayerNorm(dtype=self.dtype,
+                                  name="encoder_norm")(memory)
 
         query_pos = jnp.broadcast_to(query_embed[None].astype(self.dtype),
                                      (B, *query_embed.shape))
@@ -103,7 +139,7 @@ class DetrTransformer(nn.Module):
         intermediate = []
         for i in range(self.num_decoder_layers):
             tgt = Dec(self.dim, self.num_heads, self.ffn_dim,
-                      self.dropout, self.dtype,
+                      self.dropout, self.dtype, self.pre_norm,
                       name=f"decoder_layer{i}")(
                 tgt, memory, query_pos, pos, key_valid, deterministic)
             if self.return_intermediate:

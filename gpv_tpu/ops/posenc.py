@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 
@@ -54,6 +55,37 @@ def sine_position_embedding_2d(valid_mask: jnp.ndarray,
         [jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])], axis=-1
     ).reshape(*pos_y.shape[:-1], -1)
     return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
+class LearnedPositionEmbedding2D(nn.Module):
+    """Learned absolute 2-D position embedding (the `detr.position_embedding:
+    learned` / 'v3' variant).
+
+    Behavior spec: reference `PositionEmbeddingLearned`
+    (exp/gpv/models/position_encoding.py:51-76) — 50-entry row/col embedding
+    tables initialized U(0,1), output per pixel = concat[col(x) features,
+    row(y) features] (x first — NOTE the sine variant concats y first).
+    Ignores the validity mask, like the reference.
+    """
+    num_pos_feats: int = 128
+    table_size: int = 50
+
+    @nn.compact
+    def __call__(self, batch: int, h: int, w: int) -> jnp.ndarray:
+        if h > self.table_size or w > self.table_size:
+            raise ValueError(
+                f"learned position embedding table ({self.table_size}) too "
+                f"small for a {h}x{w} feature map")
+        init = nn.initializers.uniform(scale=1.0)  # torch nn.init.uniform_
+        row = self.param("row_embed", init,
+                         (self.table_size, self.num_pos_feats))
+        col = self.param("col_embed", init,
+                         (self.table_size, self.num_pos_feats))
+        x_emb = jnp.broadcast_to(col[None, :w], (h, w, self.num_pos_feats))
+        y_emb = jnp.broadcast_to(row[:h, None], (h, w, self.num_pos_feats))
+        pos = jnp.concatenate([x_emb, y_emb], axis=-1)  # (h, w, 2F)
+        return jnp.broadcast_to(pos[None], (batch, h, w,
+                                            2 * self.num_pos_feats))
 
 
 def sine_position_encoding_1d(d_model: int, length: int) -> jnp.ndarray:

@@ -79,6 +79,10 @@ class TestBuildGpvGuards:
         cfg = load_config("configs", "exp/gpv",
                           ["model.detr.last_layer_only=False",
                            "model.roi_head=False",
-                           "model.detr.aux_loss=True"])
+                           "model.detr.aux_loss=True",
+                           # without the RoI head the joiner input is the
+                           # bare 256-d query state (upstream the user must
+                           # resize detr_joiner too or its Linear crashes)
+                           "model.detr_joiner.detr_dim=256"])
         model = build_gpv(cfg.model, vocab_size=50)
         assert model.detr_cfg["last_layer_only"] is False
