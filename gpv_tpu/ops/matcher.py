@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from .boxes import box_cxcywh_to_xyxy, generalized_box_iou
 
-_INF = jnp.float32(1e30)
+_INF = 1e30  # python float: a jnp scalar here would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize
 
 
 def _lsap_body(cost: jnp.ndarray, cur_row: jnp.ndarray, state):

@@ -62,8 +62,10 @@ def initialize_distributed(tpu_cfg) -> bool:
         raise ValueError(
             "tpu.distributed needs coordinator_address, num_processes and "
             f"process_id; missing: {missing} (got {dict(dist)})")
-    # a second Trainer in one process (tests, notebooks) must not re-join
-    if jax.process_count() > 1 or jax.distributed.is_initialized():
+    # a second Trainer in one process (tests, notebooks) must not re-join.
+    # NOTE: only is_initialized() is safe here — jax.process_count() would
+    # initialize the XLA backend, after which initialize() refuses to run.
+    if jax.distributed.is_initialized():
         return True
     jax.distributed.initialize(str(dist["coordinator_address"]),
                                num_processes=int(dist["num_processes"]),

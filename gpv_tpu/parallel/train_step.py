@@ -42,7 +42,8 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
                     clip_max_norm: float = 0.1,
                     mesh=None, donate: bool = True,
                     state_template=None, grad_accum: int = 1,
-                    freeze_detr: bool = False) -> Callable:
+                    freeze_detr: bool = False,
+                    frozen_detr_paths=None) -> Callable:
     """Build the jitted train step.
 
     batch dict fields (all static shapes, leading dim = global batch):
@@ -73,8 +74,19 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
             # requires_grad=False, train_distr.py:136-140 — its optimizer
             # masking alone would still compute the gradients only to
             # discard them). detr_joiner stays trainable.
+            # frozen_detr_paths (the keys the DETR checkpoint actually
+            # initialized — reference init_detr_params) restricts the
+            # freeze to exactly those leaves; a non-loaded detr param
+            # (shape-mismatched class_embed etc.) keeps its gradient.
             params = dict(params)
-            params["detr"] = jax.lax.stop_gradient(params["detr"])
+            if frozen_detr_paths is None:
+                params["detr"] = jax.lax.stop_gradient(params["detr"])
+            else:
+                params["detr"] = jax.tree_util.tree_map_with_path(
+                    lambda p, x: jax.lax.stop_gradient(x)
+                    if "/".join(k.key for k in p) in frozen_detr_paths
+                    else x,
+                    params["detr"])
         batch = dict(batch)
         if batch["image"].dtype == jnp.uint8:
             # normalize IN-GRAPH: the loader ships uint8 (4x less host->

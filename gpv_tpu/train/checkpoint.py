@@ -24,22 +24,49 @@ import numpy as np
 # orbax native checkpoints
 # --------------------------------------------------------------------------
 
+def _checkpointer():
+    """Rank-0-only orbax checkpointer.
+
+    The trainer gates save/restore to rank 0 (the reference's torch.save
+    rank gating, train_distr.py:386-394); orbax's default barrier expects
+    EVERY process to call save, which would deadlock a rank-0-only call on
+    a multi-process cluster. Restrict the active set to this process — the
+    payload is host numpy (fully-replicated values), so no other process's
+    data is needed.
+    """
+    import orbax.checkpoint as ocp
+    if jax.process_count() > 1:
+        return ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=jax.process_index(),
+                active_processes={jax.process_index()}))
+    return ocp.StandardCheckpointer()
+
+
+def _host_value(x):
+    """Fetch a (possibly global, fully-replicated) array to host numpy."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_data(0))
+    return np.asarray(x)
+
+
 def save_checkpoint(ckpt_dir: str | Path, state, metadata: Dict[str, Any],
                     name: str = "model") -> Path:
-    import orbax.checkpoint as ocp
     path = Path(ckpt_dir).resolve() / name
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     payload = {
-        "params": jax.tree.map(np.asarray, state.params),
-        "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-        "opt_state": jax.tree.map(np.asarray, state.opt_state),
-        "step": int(state.step),
+        "params": jax.tree.map(_host_value, state.params),
+        "batch_stats": jax.tree.map(_host_value, state.batch_stats),
+        "opt_state": jax.tree.map(_host_value, state.opt_state),
+        "step": int(_host_value(state.step)),
     }
     if path.exists():
         import shutil
         shutil.rmtree(path)
     ckptr.save(path, payload)
-    ckptr.wait_until_finished()
+    if hasattr(ckptr, "wait_until_finished"):  # async checkpointers only
+        ckptr.wait_until_finished()
     import json
     (Path(ckpt_dir) / f"{name}.meta.json").write_text(
         json.dumps(metadata, default=float))
@@ -48,16 +75,15 @@ def save_checkpoint(ckpt_dir: str | Path, state, metadata: Dict[str, Any],
 
 def restore_checkpoint(ckpt_dir: str | Path, state=None,
                        name: str = "model"):
-    import orbax.checkpoint as ocp
     import json
     path = Path(ckpt_dir).resolve() / name
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     if state is not None:
         target = {
-            "params": jax.tree.map(np.asarray, state.params),
-            "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-            "opt_state": jax.tree.map(np.asarray, state.opt_state),
-            "step": int(state.step),
+            "params": jax.tree.map(_host_value, state.params),
+            "batch_stats": jax.tree.map(_host_value, state.batch_stats),
+            "opt_state": jax.tree.map(_host_value, state.opt_state),
+            "step": int(_host_value(state.step)),
         }
         payload = ckptr.restore(path, target)
     else:
@@ -182,6 +208,18 @@ def convert_detr_torch(sd: Dict[str, np.ndarray], prefix: str = "detr.",
             _layernorm(params, base + [f"norm{j}"], sd, f"{tn}.norm{j}")
     _layernorm(params, ["transformer", "decoder_norm"], sd,
                f"{t}decoder.norm")
+    if f"{t}encoder.norm.weight" in sd:
+        # pre-norm checkpoints carry a final encoder LayerNorm
+        # (reference transformer.py:27)
+        _layernorm(params, ["transformer", "encoder_norm"], sd,
+                   f"{t}encoder.norm")
+    if f"{prefix}backbone.1.row_embed.weight" in sd:
+        # learned 2-D position embedding (position_encoding.py:51-76);
+        # backbone.1 is the Joiner's position-embedding slot
+        _set(params, ["position_embedding", "row_embed"],
+             sd[f"{prefix}backbone.1.row_embed.weight"])
+        _set(params, ["position_embedding", "col_embed"],
+             sd[f"{prefix}backbone.1.col_embed.weight"])
 
     _linear(params, ["class_embed"], sd, f"{prefix}class_embed")
     for i in range(3):
@@ -287,26 +325,38 @@ def convert_gpv_torch(sd: Dict[str, np.ndarray], num_co_att: int = 3,
     return {"params": tree, "batch_stats": stats_tree}
 
 
-def _merge_matching(dst: dict, src: dict):
+def _merge_matching(dst: dict, src: dict, matched=None, _path=()):
     """Copy src entries into dst where name AND shape match (the reference's
-    shape-checked partial-load semantics, gpv.py:122-135)."""
+    shape-checked partial-load semantics, gpv.py:122-135). When `matched`
+    is a set, the '/'-joined path of every copied leaf is recorded in it."""
     for k, v in src.items():
         if isinstance(v, dict):
             if k in dst:
-                _merge_matching(dst[k], v)
+                _merge_matching(dst[k], v, matched, _path + (k,))
         elif k in dst and np.shape(dst[k]) == np.shape(v):
             dst[k] = np.asarray(v, dtype=np.asarray(dst[k]).dtype)
+            if matched is not None:
+                matched.add("/".join(_path + (k,)))
 
 
-def load_pretr_detr(variables: dict, torch_path: str | Path) -> dict:
+def load_pretr_detr(variables: dict, torch_path: str | Path):
     """DETR-only init (reference `GPV.load_pretr_detr`, gpv.py:122-135):
-    copy matching detr.* entries by name+shape from a DETR torch ckpt."""
+    copy matching detr.* entries by name+shape from a DETR torch ckpt.
+
+    Returns (variables, matched): `matched` is the set of '/'-paths under
+    params['detr'] that actually loaded — the reference's
+    `init_detr_params`, which is exactly the set `training.freeze` freezes
+    in phase 1 (train_distr.py:136-140). Params that did NOT load (absent
+    key or shape mismatch, e.g. class_embed with a different num_classes)
+    keep training upstream and must keep training here.
+    """
     sd = load_torch_state_dict(torch_path)
     params, stats = convert_detr_torch(sd, prefix="")
     out = jax.tree_util.tree_map(lambda x: x, variables)  # shallow-ish copy
-    _merge_matching(out["params"]["detr"], params)
+    matched: set = set()
+    _merge_matching(out["params"]["detr"], params, matched)
     _merge_matching(out.get("batch_stats", {}).get("detr", {}), stats)
-    return out
+    return out, matched
 
 
 def convert_torchvision_resnet50(sd: Dict[str, np.ndarray],

@@ -73,8 +73,16 @@ def multistep_schedule(base_lr: float, milestones, gamma: float,
 
 
 def build_optimizer(training_cfg, steps_per_epoch: int,
-                    params) -> optax.GradientTransformation:
-    """Build the full 4-group optimizer from the `training` config node."""
+                    params,
+                    frozen_detr_paths=None) -> optax.GradientTransformation:
+    """Build the full 4-group optimizer from the `training` config node.
+
+    frozen_detr_paths: when `training.freeze` is on, the exact set of
+    '/'-paths under params['detr'] to freeze (the keys the DETR checkpoint
+    actually initialized — reference init_detr_params,
+    train_distr.py:136-140). None freezes the whole detr subtree (the
+    common case where every key matched).
+    """
     total_steps = steps_per_epoch * int(training_cfg.num_epochs)
     lr = float(training_cfg.lr)
     lr_backbone = float(training_cfg.lr_backbone)
@@ -93,10 +101,12 @@ def build_optimizer(training_cfg, steps_per_epoch: int,
                            weight_decay=wd)
 
     frozen_detr = bool(training_cfg.get("freeze", False))
+    selective = frozen_detr and frozen_detr_paths is not None
     transforms = {
-        "detr_backbone": optax.set_to_zero() if frozen_detr
-        else adamw(lr_backbone),
-        "detr_head": optax.set_to_zero() if frozen_detr else adamw(lr),
+        "detr_backbone": optax.set_to_zero()
+        if (frozen_detr and not selective) else adamw(lr_backbone),
+        "detr_head": optax.set_to_zero()
+        if (frozen_detr and not selective) else adamw(lr),
         # the joiner keeps training in the frozen phase (reference freezes
         # only the params loaded from the DETR checkpoint; the joiner is
         # randomly initialized and MUST train in phase 1)
@@ -105,6 +115,17 @@ def build_optimizer(training_cfg, steps_per_epoch: int,
         "frozen": optax.set_to_zero(),
     }
     labels = group_labels(params)
+    if selective:
+        # freeze exactly the checkpoint-initialized detr leaves; any detr
+        # param the checkpoint did NOT cover (e.g. class_embed under a
+        # different num_classes) keeps training, as upstream
+        def relabel(path, label):
+            keys = tuple(k.key for k in path)
+            if keys and keys[0] == "detr" and \
+                    "/".join(keys[1:]) in frozen_detr_paths:
+                return "frozen"
+            return label
+        labels = jax.tree_util.tree_map_with_path(relabel, labels)
     return optax.multi_transform(transforms, labels)
 
 

@@ -115,23 +115,47 @@ class Trainer:
         if cfg.model.vocab_embed:
             ve = np.load(cfg.model.vocab_embed).astype(np.float32)
             variables["params"]["vocab_embed"] = ve
+        matched_detr = None  # reference init_detr_params (checkpoint.py)
         if cfg.model.pretr_detr:
-            variables = load_pretr_detr(variables, cfg.model.pretr_detr)
+            variables, matched_detr = load_pretr_detr(variables,
+                                                      cfg.model.pretr_detr)
         elif cfg.model.get("pretr_backbone"):
             # from-scratch recipe: ImageNet ResNet-50 only (the reference's
             # torchvision pretrained backbone, exp/gpv/models/backbone.py:68)
             variables = load_imagenet_backbone(variables,
                                                cfg.model.pretr_backbone)
 
+        freeze = bool(cfg.training.get("freeze", False))
+        if freeze and matched_detr is not None:
+            # freeze EXACTLY the checkpoint-initialized keys (reference
+            # init_detr_params, train_distr.py:136-140); any detr param the
+            # checkpoint didn't cover keeps training in phase 1
+            n_leaves = len(jax.tree.leaves(variables["params"]["detr"]))
+            if len(matched_detr) < n_leaves:
+                import warnings
+                warnings.warn(
+                    f"training.freeze: only {len(matched_detr)}/{n_leaves} "
+                    "detr params were initialized from "
+                    f"{cfg.model.pretr_detr}; the rest keep training "
+                    "(reference freezes only loaded keys)", RuntimeWarning)
+        elif freeze and matched_detr is None:
+            import warnings
+            warnings.warn(
+                "training.freeze without model.pretr_detr: the reference "
+                "freezes only checkpoint-loaded DETR params, so nothing "
+                "would be frozen upstream; freezing the randomly-"
+                "initialized detr subtree anyway", RuntimeWarning)
+
         steps_per_epoch = max(len(self.loaders["train"]), 1)
         self.optimizer = build_optimizer(cfg.training, steps_per_epoch,
-                                         variables["params"])
+                                         variables["params"],
+                                         frozen_detr_paths=matched_detr)
         self.state = create_train_state(variables, self.optimizer)
         self.train_step = make_train_step(
             self.model, self.optimizer, LossConfig.from_config(cfg.losses),
             float(cfg.training.clip_max_norm), mesh=self.mesh,
             grad_accum=int(cfg.training.get("grad_accum_steps", 1)),
-            freeze_detr=bool(cfg.training.get("freeze", False)))
+            freeze_detr=freeze, frozen_detr_paths=matched_detr)
 
         self.engine = GPVEngine(self.model, variables, self.vocab,
                                 self.tokenizer)
@@ -296,6 +320,7 @@ class Trainer:
         rng = jax.random.PRNGKey(1)
         eval_every = int(cfg.training.get("eval_every", 1))
         launch = True
+        step_warm = False
 
         for epoch in range(self.last_epoch + 1, num_epochs):
             run_eval = (epoch % eval_every == 0) or (epoch == num_epochs - 1)
@@ -318,6 +343,9 @@ class Trainer:
                     cfg.training.get("run_vis_at_launch", True):
                 self.visualize("train", self.step)
             launch = False
+            # re-align ranks after the rank-0-only eval/vis before the
+            # first sharded step of the epoch
+            self._sync(f"gpv_epoch_{epoch}")
 
             loader = self.loaders["train"]
             loader.set_epoch(epoch)
@@ -337,6 +365,15 @@ class Trainer:
                 # (train_step.step_fn), so there are no eager dispatches or
                 # default-device staging between loader and step
                 batch = shard_batch(batch, self.mesh)
+                if not step_warm and jax.process_count() > 1:
+                    # compile BEFORE first execution, then re-align ranks:
+                    # Gloo/ICI collective-context setup has a hard ~30 s
+                    # KV timeout, and ranks whose compile times diverge
+                    # (cold vs warm persistent cache) would enter the
+                    # first collective too far apart
+                    self.train_step.lower(self.state, batch, rng).compile()
+                    self._sync("gpv_step_compiled")
+                    step_warm = True
                 self.state, losses = self.train_step(self.state, batch, rng)
                 self.step += 1
                 if self.step % int(cfg.training.log_step) == 0:
@@ -351,23 +388,51 @@ class Trainer:
                         self.writer.add_scalar(
                             "train/steps_per_sec", timer.steps_per_sec(),
                             self.step)
-                if self.step % int(cfg.training.vis_step) == 0 \
-                        and self.is_main:
-                    self.visualize("train", self.step)
-                if self.step % int(cfg.training.ckpt_step) == 0 \
-                        and self.is_main:
-                    # rolling 'last' checkpoint for preemption recovery
-                    # (beyond the reference, which only saves on metric
-                    # improvement — SURVEY.md §5 failure detection: none)
-                    save_checkpoint(cfg.ckpt_dir, self.state,
-                                    {"epoch": epoch, "step": self.step},
-                                    name="last")
+                if self.step % int(cfg.training.vis_step) == 0:
+                    if self.is_main:
+                        self.visualize("train", self.step)
+                    # all ranks pause together: a long rank-0-only stall
+                    # would leave the others blocked inside a timed
+                    # collective
+                    self._sync(f"gpv_vis_{self.step}")
+                if self.step % int(cfg.training.ckpt_step) == 0:
+                    if self.is_main:
+                        # rolling 'last' checkpoint for preemption recovery
+                        # (beyond the reference, which only saves on metric
+                        # improvement — SURVEY.md §5 failure detection:
+                        # none)
+                        save_checkpoint(cfg.ckpt_dir, self.state,
+                                        {"epoch": epoch, "step": self.step},
+                                        name="last")
+                    self._sync(f"gpv_ckpt_{self.step}")
 
-        # final eval + save (rank 0; other hosts return empty results)
+        # final eval + save (rank 0; other hosts return empty results).
+        # Non-main ranks WAIT at a coordination-service barrier instead of
+        # exiting: a process leaving the cluster while rank 0 still
+        # evaluates would tear the coordinator down mid-eval.
         if not self.is_main:
+            self._sync("gpv_train_end")
             return {}
         results = self.evaluate("val")
         if (results["model_selection_metric"] > self.best_metric
                 or self.best_epoch < 0):
             self.save(num_epochs - 1, results)
+        self._sync("gpv_train_end")
         return results
+
+    @staticmethod
+    def _sync(name: str, timeout_min: float = 60.0):
+        """Cross-process barrier at rank-skew points.
+
+        Uses the coordination-service KV barrier, NOT a device collective:
+        rank 0's eval/vis can take many minutes, and a waiting rank must
+        not trip a Gloo/ICI collective-context timeout (~30 s) in the
+        meantime.
+        """
+        if jax.process_count() <= 1:
+            return
+        from jax._src import distributed
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name,
+                                   timeout_in_ms=int(timeout_min * 60_000))

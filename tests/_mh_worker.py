@@ -45,6 +45,15 @@ model = tiny_gpv()
 global_batch = make_batch(B=8, seed=0)
 local_batch = {k: v[pid * 4:(pid + 1) * 4] for k, v in global_batch.items()}
 
+
+def barrier(name):
+    """Align ranks via the coordination-service KV barrier: Gloo context
+    init has a hard ~30 s timeout, and compile times can diverge by more
+    than that between ranks under CPU contention (cold vs warm cache)."""
+    from jax._src import distributed
+    distributed.global_state.client.wait_at_barrier(
+        name, timeout_in_ms=3_600_000)
+
 with jax.default_device(jax.local_devices()[0]):
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.asarray(global_batch["image"][:1]),
@@ -57,6 +66,8 @@ state = create_train_state(variables, optimizer)
 step = make_train_step(model, optimizer, LossConfig(), 0.1, mesh=mesh,
                        donate=False, state_template=state)
 sharded = shard_batch(local_batch, mesh)
+step.lower(state, sharded, jax.random.PRNGKey(1)).compile()
+barrier("mh_step_compiled")
 state, losses = step(state, sharded, jax.random.PRNGKey(1))
 print(f"MH_RESULT p{pid} total_loss={float(losses['total_loss']):.6f}",
       flush=True)
@@ -66,7 +77,9 @@ print(f"MH_RESULT p{pid} total_loss={float(losses['total_loss']):.6f}",
 state2 = create_train_state(variables, optimizer)
 step2 = make_train_step(model, optimizer, LossConfig(), 0.1, mesh=mesh,
                         donate=False, state_template=state2, grad_accum=2)
-state2, losses2 = step2(state2, shard_batch(local_batch, mesh),
-                        jax.random.PRNGKey(1))
+sharded2 = shard_batch(local_batch, mesh)
+step2.lower(state2, sharded2, jax.random.PRNGKey(1)).compile()
+barrier("mh_accum_compiled")
+state2, losses2 = step2(state2, sharded2, jax.random.PRNGKey(1))
 print(f"MH_ACCUM p{pid} total_loss={float(losses2['total_loss']):.6f}",
       flush=True)

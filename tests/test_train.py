@@ -346,6 +346,50 @@ class TestFrozenPhase:
             state.params["co_att0"], new_state.params["co_att0"])
         assert max(jax.tree.leaves(coatt_delta)) > 0.0
 
+    def test_partial_freeze_trains_unloaded_detr_params(self):
+        """frozen_detr_paths (the keys a DETR checkpoint actually
+        initialized) restricts the freeze: a detr param NOT in the set —
+        e.g. class_embed when num_classes differs from the checkpoint —
+        keeps training in phase 1, exactly as the reference's
+        init_detr_params-based requires_grad gating
+        (train_distr.py:136-140; ADVICE r2 #2)."""
+        model = tiny_gpv()
+        batch = make_batch(B=8)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
+            jnp.asarray(batch["query_ids"]),
+            jnp.asarray(batch["answer_ids"]), train=False)
+        all_paths = {
+            "/".join(str(k.key) for k in p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(
+                variables["params"]["detr"])[0]}
+        unloaded = {p for p in all_paths if p.startswith("class_embed")}
+        assert unloaded, sorted(all_paths)[:5]
+        matched = all_paths - unloaded
+
+        optimizer = build_optimizer(
+            training_cfg(freeze=True, lr_warmup=False,
+                         lr_linear_decay=False),
+            steps_per_epoch=10, params=variables["params"],
+            frozen_detr_paths=matched)
+        state = create_train_state(variables, optimizer)
+        step = make_train_step(model, optimizer, LossConfig(), 0.1,
+                               mesh=None, donate=False, freeze_detr=True,
+                               frozen_detr_paths=matched)
+        new_state, losses = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(losses["total_loss"]))
+
+        deltas = {
+            "/".join(str(k.key) for k in p): float(v)
+            for p, v in jax.tree_util.tree_flatten_with_path(
+                jax.tree.map(lambda a, b: jnp.max(jnp.abs(a - b)),
+                             state.params["detr"],
+                             new_state.params["detr"]))[0]}
+        for p in matched:
+            assert deltas[p] == 0.0, f"frozen {p} moved"
+        moved = [p for p in unloaded if deltas[p] > 0.0]
+        assert moved, "unloaded class_embed params did not train"
+
     def test_frozen_grads_are_structurally_zero(self):
         """stop_gradient makes the DETR grads exact zeros (XLA eliminates
         the backward through the tower, the perf point of the change)."""
