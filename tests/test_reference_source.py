@@ -253,10 +253,43 @@ def _convert_ref_transformer(sd, enc, dec, dim):
         for j in (1, 2, 3):
             _layernorm(params, base + [f"norm{j}"], sd, f"{tn}.norm{j}")
     _layernorm(params, ["decoder_norm"], sd, "decoder.norm")
+    if "encoder.norm.weight" in sd:  # pre-norm: final encoder LayerNorm
+        _layernorm(params, ["encoder_norm"], sd, "encoder.norm")
     return params
 
 
 class TestDetrTransformerVsReference:
+    def test_full_transformer_pre_norm(self):
+        """normalize_before=True branches (reference transformer.py
+        forward_pre :162-174/:235-260 + encoder_norm :27) vs pre_norm=True."""
+        from exp.gpv.models.transformer import Transformer
+
+        from gpv_tpu.nn.detr_transformer import DetrTransformer
+
+        torch.manual_seed(7)
+        D, H, B, Hh, Ww, Q = 32, 4, 2, 3, 5, 6
+        ref = Transformer(d_model=D, nhead=H, num_encoder_layers=2,
+                          num_decoder_layers=2, dim_feedforward=64,
+                          dropout=0.0, normalize_before=True,
+                          return_intermediate_dec=True).eval()
+        src = torch.randn(B, D, Hh, Ww)
+        pos = torch.randn(B, D, Hh, Ww)
+        query_embed = torch.randn(Q, D)
+        mask = torch.zeros(B, Hh, Ww, dtype=torch.bool)
+        mask[1, :, 3:] = True
+        with torch.no_grad():
+            hs_ref, _ = ref(src, mask, query_embed, pos)
+
+        params = _convert_ref_transformer(sd_np(ref), 2, 2, D)
+        ours = DetrTransformer(dim=D, num_heads=H, num_encoder_layers=2,
+                               num_decoder_layers=2, ffn_dim=64,
+                               dropout=0.0, pre_norm=True)
+        flat = lambda x: jnp.asarray(x.flatten(2).permute(0, 2, 1).numpy())
+        key_valid = jnp.asarray(~mask.flatten(1).numpy())
+        hs, _ = ours.apply({"params": params}, flat(src), flat(pos),
+                           jnp.asarray(query_embed.numpy()), key_valid)
+        np.testing.assert_allclose(np.asarray(hs), hs_ref.numpy(), atol=ATOL)
+
     @pytest.mark.parametrize("padded", [False, True])
     def test_full_transformer(self, padded):
         from exp.gpv.models.transformer import Transformer
@@ -322,6 +355,32 @@ class TestPositionEncodingVsReference:
             np.asarray(pos).transpose(0, 3, 1, 2), pos_ref.numpy(),
             atol=1e-5)
 
+    def test_learned_2d(self):
+        """Learned 50x50 row/col embedding (position_encoding.py:51-76) vs
+        LearnedPositionEmbedding2D with the reference's own tables."""
+        from exp.gpv.models.position_encoding import PositionEmbeddingLearned
+        from utils.detr_misc import NestedTensor
+
+        from gpv_tpu.ops.posenc import LearnedPositionEmbedding2D
+
+        torch.manual_seed(11)
+        B, Hh, Ww, F = 2, 6, 9, 16
+        ref = PositionEmbeddingLearned(num_pos_feats=F)
+        x = torch.randn(B, 3, Hh, Ww)
+        with torch.no_grad():
+            pos_ref = ref(NestedTensor(x, torch.zeros(B, Hh, Ww,
+                                                      dtype=torch.bool)))
+
+        params = {"row_embed": jnp.asarray(ref.row_embed.weight.detach()
+                                           .numpy()),
+                  "col_embed": jnp.asarray(ref.col_embed.weight.detach()
+                                           .numpy())}
+        pos = LearnedPositionEmbedding2D(num_pos_feats=F).apply(
+            {"params": params}, B, Hh, Ww)
+        np.testing.assert_allclose(
+            np.asarray(pos).transpose(0, 3, 1, 2), pos_ref.numpy(),
+            atol=1e-6)
+
     def test_sine_1d_table(self):
         from exp.gpv.models.gpv import positionalencoding1d
 
@@ -341,7 +400,8 @@ class TestPositionEncodingVsReference:
 D, HEADS, LAYERS, V, T_MAX, B, TM = 32, 4, 2, 30, 6, 2, 12
 
 
-def _ref_decode_gpv(vocab_words, vocab_embed):
+def _ref_decode_gpv(vocab_words, vocab_embed, D=D, HEADS=HEADS,
+                    LAYERS=LAYERS, T_MAX=T_MAX):
     """Reference GPV with exactly the attributes its decode paths touch."""
     from exp.gpv.models.answer_head import AnswerHead
     from exp.gpv.models.gpv import (GPV as RefGPV, AnswerInputEmbedding,
@@ -363,8 +423,9 @@ def _ref_decode_gpv(vocab_words, vocab_embed):
     return ref.eval()
 
 
-def _flax_gpv_with_ref_weights(ref):
-    """Tiny flax GPV whose text-decode params are REPLACED by the reference
+def _flax_gpv_with_ref_weights(ref, D=D, HEADS=HEADS, LAYERS=LAYERS,
+                            V=V, T_MAX=T_MAX):
+    """Flax GPV whose text-decode params are REPLACED by the reference
     module's weights through the production converter helpers."""
     from gpv_tpu.models.gpv import GPV
     from gpv_tpu.train.checkpoint import _layernorm, _linear, _mha, _set
