@@ -8,11 +8,12 @@ lemmatized-synonym subsequence matching over query+answer with special-case
 disambiguation for dog/bear/cup/orange/clock; train/val samples mentioning
 unseen categories are dropped).
 
-Divergence note: the reference uses WordNetLemmatizer + spaCy POS tags for
-the orange/clock noun checks; neither's data files ship in this image, so
-lemmatization is a rule-based English plural reducer and the noun checks are
-positional heuristics. This only affects which *borderline* samples get a
-category tag; the split protocol is identical.
+Divergence note (PARITY.md #5): lemmatization is now the EXACT WordNet
+morphy noun algorithm over a vendored lexicon (`gpv_tpu.data.morphy` — it
+agrees with the reference's WordNetLemmatizer on every decision that can
+touch the synonym table). The remaining divergence is ONLY the spaCy POS
+tag used by the orange/clock special cases, replaced by the positional
+heuristics in `_looks_like_noun`.
 """
 from __future__ import annotations
 
@@ -22,33 +23,7 @@ from collections import Counter
 from typing import Dict, List
 
 from ..text.treebank import word_tokenize
-
-_IRREGULAR = {
-    "men": "man", "women": "woman", "children": "child", "people": "person",
-    "teeth": "tooth", "feet": "foot", "geese": "goose", "mice": "mouse",
-    "knives": "knife", "leaves": "leaf", "wolves": "wolf",
-    "shelves": "shelf", "scissors": "scissors", "glasses": "glasses",
-    "skis": "ski", "buses": "bus", "benches": "bench", "couches": "couch",
-    "sandwiches": "sandwich", "watches": "watch", "dishes": "dish",
-    "brushes": "brush", "wines": "wine",
-}
-
-
-def lemmatize(word: str) -> str:
-    """Noun-style lemmatization (rule-based WordNet approximation)."""
-    w = word.lower()
-    if w in _IRREGULAR:
-        return _IRREGULAR[w]
-    if len(w) > 3 and w.endswith("ies"):
-        return w[:-3] + "y"
-    if len(w) > 3 and (w.endswith("ses") or w.endswith("xes")
-                       or w.endswith("zes") or w.endswith("ches")
-                       or w.endswith("shes")):
-        return w[:-2]
-    if len(w) > 2 and w.endswith("s") and not (
-            w.endswith("ss") or w.endswith("us") or w.endswith("is")):
-        return w[:-1]
-    return w
+from .morphy import build_lexicon, lemmatize_noun as lemmatize  # noqa: F401
 
 
 def split_categories(categories: List[Dict], seed: int = 0,
@@ -95,9 +70,16 @@ class AssignCocoCategories:
 
     def __init__(self, categories: List[Dict], synonyms: Dict[str, List[str]]):
         self.categories = categories
+        # lexicon closure over THIS synonym table (see morphy.py docstring)
+        self._lexicon = build_lexicon(
+            t for syns in synonyms.values() for s in syns
+            for t in s.lower().replace("-", " ").split())
         self.synonyms = {
-            name: [ [lemmatize(t) for t in word_tokenize(s)] for s in syns]
+            name: [[self._lem(t) for t in word_tokenize(s)] for s in syns]
             for name, syns in synonyms.items()}
+
+    def _lem(self, word: str) -> str:
+        return lemmatize(word, self._lexicon)
 
     @staticmethod
     def _is_subsequence(needle, haystack):
@@ -152,7 +134,7 @@ class AssignCocoCategories:
         text = sample["query"]
         if "answer" in sample:
             text = text + " " + str(sample["answer"])
-        tokens = [lemmatize(w) for w in word_tokenize(text)]
+        tokens = [self._lem(w) for w in word_tokenize(text)]
         assigned = []
         for category in self.categories:
             for syn in self.synonyms.get(category["name"], []):
