@@ -1,22 +1,75 @@
 """PTB caption tokenization (replacing pycocoevalcap's Java PTBTokenizer).
 
 Behavior spec: pycocoevalcap `tokenizer/ptbtokenizer.py` shells out to
-stanford-corenlp's PTBTokenizer then strips a fixed punctuation list and
-lowercases. Here the framework's own Treebank tokenizer
-(`gpv_tpu.text.treebank`) provides the PTB rules; the punctuation strip list
-matches the Java wrapper's PUNCTUATIONS exactly.
+stanford-corenlp `PTBTokenizer -preserveLines -lowerCase`, then drops tokens
+in a fixed PUNCTUATIONS list. Faithfully reproduced chain:
+
+  1. sentence-aware tokenization: the Java tokenizer splits sentence-final
+     periods mid-text ("a cat. a dog" -> "a cat . a dog") but keeps
+     abbreviation periods attached ("mr. jones") via its lexicon; here a
+     sentence pre-split + a small abbreviation list feed the framework's
+     Treebank rules (`gpv_tpu.text.treebank`).
+  2. PTB3 bracket escaping THEN lowercasing: '(' -> '-LRB-' -> '-lrb-'.
+  3. the punctuation strip compares against the UPPERCASE escape strings
+     ("-LRB-" etc, ptbtokenizer.py PUNCTUATIONS), so the lowercased
+     bracket escapes are NEVER stripped — reference tokenized captions
+     really do contain '-lrb-' tokens. Reproduced verbatim (PARITY.md #6).
 """
 from __future__ import annotations
+
+import re
 
 from ..text.treebank import word_tokenize
 
 PUNCTUATIONS = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
                 ".", "?", "!", ",", ":", "-", "--", "...", ";"}
 
+# PTB3 escapes, post-lowercase (the -lowerCase flag lowercases token text)
+_BRACKETS = {"(": "-lrb-", ")": "-rrb-", "[": "-lsb-", "]": "-rsb-",
+             "{": "-lcb-", "}": "-rcb-"}
+
+# common abbreviations whose trailing period is NOT a sentence boundary
+# (subset of the CoreNLP lexicon that can appear in caption text)
+_ABBREV = {"mr.", "mrs.", "ms.", "dr.", "prof.", "st.", "mt.", "jr.",
+           "sr.", "vs.", "etc.", "inc.", "co.", "corp.", "no.", "dept.",
+           "u.s.", "u.k.", "u.s.a.", "a.m.", "p.m.", "ft.", "in.", "oz.",
+           "lb.", "lbs.", "ave.", "blvd.", "rd."}
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+def _sentences(text: str) -> list[str]:
+    parts = _SENT_SPLIT.split(text)
+    sents: list[str] = []
+    for part in parts:
+        prev = sents[-1].split()[-1].lower() if sents and sents[-1].split() \
+            else None
+        if prev in _ABBREV or (prev and re.fullmatch(r"(\w\.)+", prev)):
+            sents[-1] += " " + part  # "u.s. flag" is one sentence
+        else:
+            sents.append(part)
+    return sents
+
+
+def _protect_final_abbrev(sentence: str) -> str:
+    """PTB3 period duplication: a sentence ending in an abbreviation keeps
+    the abbreviation's period AND emits a sentence-final '.' token; adding
+    the standalone '.' here keeps the Treebank final-period rule off the
+    abbreviation ('a flag of the u.s.' -> 'u.s.' + '.')."""
+    words = sentence.split()
+    if words:
+        last = words[-1].lower()
+        if last in _ABBREV or re.fullmatch(r"(\w\.)+", last):
+            return sentence + " ."
+    return sentence
+
 
 def ptb_tokenize_caption(caption: str) -> str:
     """One caption -> space-joined lowercased tokens minus punctuation."""
-    toks = [t.lower() for t in word_tokenize(caption.replace("\n", " "))]
+    text = caption.replace("\n", " ")
+    toks = [t.lower() for s in _sentences(text)
+            for t in word_tokenize(_protect_final_abbrev(s))]
+    toks = [_BRACKETS.get(t, t) for t in toks]
     return " ".join(t for t in toks if t not in PUNCTUATIONS)
 
 
