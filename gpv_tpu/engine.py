@@ -175,10 +175,18 @@ class GPVEngine:
 
     def predict_beam(self, images_uint8, queries: List[str],
                      beam_size: int = 5,
-                     vocab_mask: Optional[np.ndarray] = None):
+                     vocab_mask: Optional[np.ndarray] = None,
+                     reference_quirks: bool = False):
         """Batched beam-search prediction; returns per-sample
         {answers: [str x K], answer_probs: [float x K], boxes, relevance}
-        (contract of `inference_beam_search.py:25-45`)."""
+        (contract of `inference_beam_search.py:25-45`).
+
+        reference_quirks=True reproduces the reference beam tail bug
+        (phantom `vocab[0]` word appended to a beam that never emitted
+        stop, gpv.py:316-327 — see AnswerVocab.decode_beam_ids) for
+        string-level parity with upstream eval outputs. Serving and the
+        default API return the clean decode.
+        """
         images, qids, qvalid = self._prep(images_uint8, queries)
         vm = None if vocab_mask is None else jnp.asarray(vocab_mask)
         seqs, logp, boxes, rel = self._beam(self.variables, images, qids,
@@ -188,7 +196,10 @@ class GPVEngine:
         boxes, rel = np.asarray(boxes), np.asarray(rel)
         out = []
         for i in range(len(queries)):
-            answers = self.vocab.decode_beam_ids(seqs[i])
+            if reference_quirks:
+                answers = self.vocab.decode_beam_ids(seqs[i])
+            else:
+                answers = self.vocab.decode_ids(seqs[i])
             out.append({"answers": answers,
                         "answer_probs": probs[i].tolist(),
                         "boxes": boxes[i], "relevance": rel[i]})

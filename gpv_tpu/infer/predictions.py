@@ -96,8 +96,10 @@ def make_predictions(engine: GPVEngine, dataset, task: str,
         images = np.stack([it["image"] for it in items])
         queries = [it["query"] for it in items]
         if beam_size and beam_size > 1:
+            # reference_quirks: offline eval artifacts stay string-identical
+            # to the reference's beam outputs (incl. its tail bug)
             bouts = engine.predict_beam(images, queries, beam_size,
-                                        vocab_mask)
+                                        vocab_mask, reference_quirks=True)
             outs = [{"answer": b["answers"][0],
                      "answer_probs": b["answer_probs"],
                      "all_answers": b["answers"],

@@ -25,7 +25,10 @@ def main(argv=None):
     img = resize_uint8(img, int(cfg.task_configs.image_size.H),
                        int(cfg.task_configs.image_size.W))
     beam_size = int(cfg.get("beam_size", 5))
-    out = engine.predict_beam(img[None], [cfg.query], beam_size)[0]
+    # reference_quirks: print the same strings the reference CLI would
+    # (incl. its beam-tail quirk, PARITY.md)
+    out = engine.predict_beam(img[None], [cfg.query], beam_size,
+                              reference_quirks=True)[0]
 
     print("answers (with probabilities):")
     for ans, p in zip(out["answers"], out["answer_probs"]):
