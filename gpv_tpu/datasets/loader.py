@@ -132,9 +132,19 @@ class DataLoader:
         stop = threading.Event()
 
         def load_batch(bi: int, idxs: np.ndarray):
-            rng = np.random.RandomState(
-                (self.seed * 1000003 + self.epoch * 9973 + bi) % (2 ** 31))
-            items = [self.dataset.get(int(i), rng) for i in idxs]
+            # per-ITEM rng keyed by the row's GLOBAL position in the batch:
+            # augmentation draws are then identical whether the batch is
+            # assembled by 1 process or sharded over N (the "contiguous
+            # rows of one global batch" contract is bit-exact, not just
+            # index-exact — tested in test_data_pipeline.py)
+            lb = self.batch_size // self.num_shards
+            base = (self.seed * 1000003 + self.epoch * 9973
+                    + bi * 131071) % (2 ** 31)
+            items = []
+            for j, i in enumerate(idxs):
+                row = self.shard_id * lb + j
+                rng = np.random.RandomState((base + row) % (2 ** 31))
+                items.append(self.dataset.get(int(i), rng))
             return self.collator(items)
 
         def put(item) -> bool:

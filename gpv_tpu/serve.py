@@ -19,10 +19,28 @@ import numpy as np
 
 class GPVServer:
     def __init__(self, engine, batch_size: int = 20,
-                 max_wait_ms: float = 5.0, num_workers: int = 2):
+                 max_wait_ms: float = 5.0, num_workers: int = 2,
+                 bucket_sizes=None, warmup=None):
+        """bucket_sizes: optional ascending pad targets (e.g. (1, 8, 64)).
+        A collected batch of n requests pads to the smallest bucket >= n
+        instead of always to batch_size, so a lone request under low load
+        does not pay a full padded batch (each bucket is one extra XLA
+        executable — static shapes). The largest bucket is the batch size.
+        warmup: optional (H, W) — compile every bucket at construction for
+        that image size (otherwise the first request at each occupancy
+        level pays its compile)."""
         self.engine = engine
+        if bucket_sizes:
+            bucket_sizes = sorted(int(b) for b in bucket_sizes)
+            batch_size = bucket_sizes[-1]
+        self.buckets = tuple(bucket_sizes or (batch_size,))
         self.batch_size = batch_size
         self.max_wait_s = max_wait_ms / 1000.0
+        if warmup:
+            h, w = warmup
+            for b in self.buckets:
+                engine.predict(np.zeros((b, h, w, 3), np.uint8),
+                               ["warm up"] * b)
         self._q: "queue.Queue" = queue.Queue()
         # requests deferred by mask-mismatch, served BEFORE the queue at the
         # next collection so a minority-mask request cannot be starved by a
@@ -115,8 +133,12 @@ class GPVServer:
             images = [it[0] for it in items]
             queries = [it[1] for it in items]
             mask = items[0][2]
-            # pad to the static batch size by repeating the last request
-            while len(images) < self.batch_size:
+            # pad to the smallest bucket that fits (static XLA shapes) by
+            # repeating the last request — a lone request at low load runs
+            # the bucket-1 executable, not a full padded batch
+            target = next((b for b in self.buckets if b >= n),
+                          self.batch_size)
+            while len(images) < target:
                 images.append(images[-1])
                 queries.append(queries[-1])
             try:

