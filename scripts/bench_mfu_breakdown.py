@@ -39,7 +39,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench_train_step import make_batch
 
-    args = dict(a.split("=", 1) for a in sys.argv[1:])
+    args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     B = int(args.get("B", 120))
     steps = int(args.get("steps", 4))
 

@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import numpy as np
 
-TRAIN_FLOPS_PER_IMG = 165e9  # ~3x the ~55 GFLOP forward (bwd 2x fwd)
+# XLA cost_analysis of the compiled B=120 fwd+bwd+loss HLO counts 215.6
+# GF/img (FMA=2 convention; scripts/bench_mfu_breakdown.py, BASELINE.md "r3
+# roofline"). The r2 hand estimate (165e9) undercounted conv FLOPs.
+TRAIN_FLOPS_PER_IMG = 215.6e9
 
 
 def make_batch(B, H=480, W=640, S=20, M=8, Tq=12, vocab=10000):
@@ -116,9 +119,14 @@ def main():
             jax.profiler.start_trace(profile_dir)
         times = []
         for i in range(steps):
+            # vary rng per call AND fetch a concrete host float: the relay
+            # can serve an identical repeated dispatch from a cache (fake
+            # ~40 ms "steps"), and block_until_ready on big outputs acks
+            # early (BASELINE.md relay notes)
+            rng_i = jax.random.fold_in(rng, i)
             t0 = time.perf_counter()
-            st, losses = step(state, batch, rng)
-            jax.block_until_ready(losses)
+            st, losses = step(state, batch, rng_i)
+            float(losses["total_loss"])
             times.append(time.perf_counter() - t0)
             del st
         if profile_dir:

@@ -191,13 +191,17 @@ class TestBeamReferenceSemantics:
         cls_id = 1
 
         def tf_last_logprobs(prefix_ids):
-            """(B, S) prefixes -> (B, V) next-token log-probs: append a
-            dummy token and read the last teacher-forced position."""
-            dummy = np.concatenate(
-                [prefix_ids, np.zeros((Bn, 1), np.int64)], 1)
+            """(B, S) prefixes -> (B, V) next-token log-probs: right-pad to
+            a FIXED max_text_len and read position S-1 (the causal mask
+            makes trailing pad tokens inert) so every call reuses one
+            compiled teacher-forced forward instead of one per prefix
+            length."""
+            S = prefix_ids.shape[1]
+            dummy = np.zeros((Bn, model.max_text_len), np.int64)
+            dummy[:, :S] = prefix_ids
             out = model.apply(variables, imgs, qids,
                               jnp.asarray(dummy, jnp.int32), train=False)
-            logits = np.asarray(out["answer_logits"][:, -1],
+            logits = np.asarray(out["answer_logits"][:, S - 1],
                                 np.float64)
             lsm = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
             return lsm

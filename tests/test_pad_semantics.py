@@ -21,7 +21,8 @@ from gpv_tpu.models.gpv import GPV
 from test_model import VOCAB, tiny_gpv
 
 H, W = 48, 64
-LENS = (2, 4, 7)  # query lengths, padded to max
+LENS = (2, 7)  # one padded + the full length; each extra length costs a
+               # separate batch-1 encode+decode compile (suite-speed budget)
 TQ = max(LENS)
 
 
