@@ -95,6 +95,12 @@ def main():
     tokens, _, _ = infer(variables, images, query_ids, query_valid)
     np.asarray(tokens)
 
+    # distinct device input buffers per in-flight slot: the relay may dedup
+    # identical concurrent dispatches, which would fake the pipelined rate
+    image_rot = [images + jnp.float32(i) * 1e-6
+                 for i in range(PIPELINE_DEPTH + 1)]
+    jax.block_until_ready(image_rot)
+
     # Pipelined timing: fetch batch i-1's result AFTER dispatching batch i,
     # overlapping the host round-trip with device compute (the tunnel to
     # this chip has a ~30 ms synchronous round-trip floor; a serving loop
@@ -103,8 +109,9 @@ def main():
     t0 = time.perf_counter()
     with cf.ThreadPoolExecutor(PIPELINE_DEPTH) as pool:
         fetches = []
-        for _ in range(N_ITERS):
-            tokens, _, _ = infer(variables, images, query_ids, query_valid)
+        for i in range(N_ITERS):
+            tokens, _, _ = infer(variables, image_rot[i % len(image_rot)],
+                                 query_ids, query_valid)
             fetches.append(pool.submit(np.asarray, tokens))
         for f in fetches:
             f.result()
