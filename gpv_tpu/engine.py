@@ -43,12 +43,19 @@ class GPVEngine:
     def __setattr__(self, name, value):
         # serving-path weight folding (see ops/fold_bn.py) applied whenever
         # fresh variables are installed
-        if name == "variables" and value is not None and \
-                getattr(self, "fold_bn", False) and "batch_stats" in value \
-                and value["batch_stats"]:
-            from .ops.fold_bn import fold_frozen_bn
-            p, s = fold_frozen_bn(value["params"], value["batch_stats"])
-            value = {"params": p, "batch_stats": s}
+        if name == "variables" and value is not None:
+            if getattr(self, "fold_bn", False) and "batch_stats" in value \
+                    and value["batch_stats"]:
+                from .ops.fold_bn import fold_frozen_bn
+                p, s = fold_frozen_bn(value["params"], value["batch_stats"])
+                value = {"params": p, "batch_stats": s}
+            # Commit the weights to this process's default device ONCE.
+            # fold_frozen_bn returns host numpy (and multi-host rank-0 eval
+            # hands us numpy fetched from global arrays, trainer.py:221-229);
+            # passing numpy leaves into the jitted cores would re-upload
+            # every weight on EVERY predict call (measured: 23 s/batch over
+            # the dev relay vs 40 ms with resident weights).
+            value = jax.device_put(value)
         object.__setattr__(self, name, value)
 
     @classmethod
@@ -72,7 +79,9 @@ class GPVEngine:
 
     def _encode(self, variables, images_f32, query_ids, query_valid,
                 image_valid=None):
-        images = normalize_image(images_f32 / 255.0)
+        # accepts uint8 (the host API ships raw bytes — 4x less transfer
+        # than host-side float32) or float32; the cast runs on device
+        images = normalize_image(images_f32.astype(jnp.float32) / 255.0)
         memory, mem_valid, outputs = self.model.apply(
             variables, images, query_ids, image_valid=image_valid,
             query_valid=query_valid, method=GPV.encode)
@@ -106,7 +115,8 @@ class GPVEngine:
     # ---- host API ----
 
     def _prep(self, images_uint8: np.ndarray, queries: List[str]):
-        images = jnp.asarray(np.asarray(images_uint8), jnp.float32)
+        # ship uint8 to device; the jitted core casts/normalizes there
+        images = jnp.asarray(np.asarray(images_uint8))
         qids, qvalid = self.tokenizer.batch_encode(queries,
                                                    self.max_query_len)
         return images, jnp.asarray(qids), jnp.asarray(qvalid)
@@ -163,7 +173,7 @@ class GPVEngine:
                 [queries[i] for i in idxs], self.max_query_len)
             vm = None if vocab_mask is None else jnp.asarray(vocab_mask)
             tokens, boxes, rel = self._greedy(
-                self.variables, jnp.asarray(batch, jnp.float32),
+                self.variables, jnp.asarray(batch),
                 jnp.asarray(qids), jnp.asarray(qvalid), vm,
                 jnp.asarray(valid))
             answers = self.vocab.decode_ids(np.asarray(tokens))

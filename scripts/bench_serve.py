@@ -62,12 +62,24 @@ def measure_capacity(server, images, n_burst=240):
 
 
 def run_poisson(server, images, rate_hz, n_req, seed=0):
-    """Open-loop Poisson arrivals at rate_hz; returns latencies (s)."""
+    """Open-loop Poisson arrivals at rate_hz; returns latencies (s).
+
+    Each request's completion is timestamped in a done-callback (fires on
+    the worker thread at set_result time) — timing at collection would
+    charge early requests the whole run duration.
+    """
     rng = np.random.RandomState(seed)
     gaps = rng.exponential(1.0 / rate_hz, size=n_req)
     arrivals = np.cumsum(gaps)
+    done_at = [None] * n_req
     futs = [None] * n_req
     t_start = time.perf_counter()
+
+    def _stamp(i):
+        def cb(_fut):
+            done_at[i] = time.perf_counter() - t_start
+        return cb
+
     lag_max = 0.0
     for i in range(n_req):
         now = time.perf_counter() - t_start
@@ -76,20 +88,13 @@ def run_poisson(server, images, rate_hz, n_req, seed=0):
             time.sleep(wait)
         else:
             lag_max = max(lag_max, -wait)
-        futs[i] = (server.submit(images[i % len(images)],
-                                 f"describe object {i % 31}"), arrivals[i])
-    lats = []
-    for fut, sched in futs:
+        futs[i] = server.submit(images[i % len(images)],
+                                f"describe object {i % 31}")
+        futs[i].add_done_callback(_stamp(i))
+    for fut in futs:
         fut.result(timeout=600)
-        done = time.perf_counter() - t_start
-        lats.append(done - sched)
-    # NOTE: result() collection order is submission order; a later future
-    # resolving earlier is still timed at ITS resolution because
-    # Future.result returns immediately once set — but the perf_counter
-    # read happens after the (possibly blocking) wait on EARLIER requests.
-    # With in-order batching the server resolves in near-submission order,
-    # so the bias is < one batch; acceptable for p50/p99 at these rates.
-    return np.asarray(lats), lag_max
+    lats = np.asarray(done_at) - arrivals
+    return lats, lag_max
 
 
 def main():
