@@ -44,6 +44,24 @@ def training_cfg(**kw):
     return cfg
 
 
+_INIT_CACHE: dict = {}
+
+
+def init_vars(model):
+    """Module-scope memoized `model.init`: init values depend only on the
+    module config and seed — not the batch size — so tests share one init
+    per distinct model instead of re-tracing it (suite speed, VERDICT r2
+    item 9). Keyed by repr because detr_cfg dict fields make flax modules
+    unhashable."""
+    key = repr(model)
+    if key not in _INIT_CACHE:
+        _INIT_CACHE[key] = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 48, 64, 3), jnp.float32),
+            jnp.zeros((1, 5), jnp.int32), jnp.zeros((1, 8), jnp.int32),
+            train=False)
+    return _INIT_CACHE[key]
+
+
 class TestOptimizer:
     def test_param_groups(self):
         assert param_group(("detr", "backbone", "conv1", "kernel")) == "detr_backbone"
@@ -68,10 +86,7 @@ class TestTrainStep:
         mesh = make_mesh(data=8)
         model = tiny_gpv()
         batch = make_batch(B=8)
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
-            jnp.asarray(batch["query_ids"]),
-            jnp.asarray(batch["answer_ids"]), train=False)
+        variables = init_vars(model)
         optimizer = build_optimizer(training_cfg(), steps_per_epoch=10,
                                     params=variables["params"])
         state = create_train_state(variables, optimizer)
@@ -120,10 +135,7 @@ class TestTrainStep:
 
         batch = make_batch(B=8)
         model = tiny_gpv()
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
-            jnp.asarray(batch["query_ids"]),
-            jnp.asarray(batch["answer_ids"]), train=False)
+        variables = init_vars(model)
         optimizer = build_optimizer(training_cfg(), 10, variables["params"])
 
         def run(mesh_kw):
@@ -148,8 +160,7 @@ class TestTrainStep:
         model = tiny_gpv()
         imgs = jnp.zeros((4, 48, 64, 3))
         qids = jnp.zeros((4, 5), jnp.int32)
-        variables = model.init(jax.random.PRNGKey(0), imgs, qids,
-                               jnp.zeros((4, 6), jnp.int32), train=False)
+        variables = init_vars(model)
         ref = model.apply(variables, imgs, qids, train=False)
 
         mesh = make_mesh(data=4, model=2)
@@ -228,10 +239,7 @@ class TestTrainStep:
         mesh = make_mesh(data=8)
         model = tiny_gpv()
         batch = make_batch(B=8)
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
-            jnp.asarray(batch["query_ids"]),
-            jnp.asarray(batch["answer_ids"]), train=False)
+        variables = init_vars(model)
         # warmup off: the warmup schedule gives lr=0 at step 0, which
         # would mask the regression being tested
         optimizer = build_optimizer(
@@ -258,10 +266,7 @@ class TestGradAccumulation:
         model = tiny_gpv()
         # same task layout in both halves: [cap,vqa,cls,det] x2
         batch = make_batch(B=8)
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
-            jnp.asarray(batch["query_ids"]),
-            jnp.asarray(batch["answer_ids"]), train=False)
+        variables = init_vars(model)
         optimizer = build_optimizer(training_cfg(), steps_per_epoch=10,
                                     params=variables["params"])
         state1 = create_train_state(variables, optimizer)
@@ -291,10 +296,7 @@ class TestGradAccumulation:
         mesh = make_mesh(data=8)
         model = tiny_gpv()
         batch = make_batch(B=16)
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
-            jnp.asarray(batch["query_ids"]),
-            jnp.asarray(batch["answer_ids"]), train=False)
+        variables = init_vars(model)
         optimizer = build_optimizer(training_cfg(), steps_per_epoch=10,
                                     params=variables["params"])
         state = create_train_state(variables, optimizer)
@@ -316,10 +318,7 @@ class TestFrozenPhase:
         detr.* keys)."""
         model = tiny_gpv()
         batch = make_batch(B=8)
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
-            jnp.asarray(batch["query_ids"]),
-            jnp.asarray(batch["answer_ids"]), train=False)
+        variables = init_vars(model)
         # warmup off: the warmup schedule gives lr=0 at step 0, which
         # would mask the regression being tested
         optimizer = build_optimizer(
@@ -355,10 +354,7 @@ class TestFrozenPhase:
         (train_distr.py:136-140; ADVICE r2 #2)."""
         model = tiny_gpv()
         batch = make_batch(B=8)
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
-            jnp.asarray(batch["query_ids"]),
-            jnp.asarray(batch["answer_ids"]), train=False)
+        variables = init_vars(model)
         all_paths = {
             "/".join(str(k.key) for k in p)
             for p, _ in jax.tree_util.tree_flatten_with_path(
@@ -397,10 +393,7 @@ class TestFrozenPhase:
 
         model = tiny_gpv()
         batch = make_batch(B=4)
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.asarray(batch["image"]),
-            jnp.asarray(batch["query_ids"]),
-            jnp.asarray(batch["answer_ids"]), train=False)
+        variables = init_vars(model)
 
         def loss_fn(params):
             p = dict(params)
