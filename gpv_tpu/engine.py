@@ -32,6 +32,8 @@ class GPVEngine:
                  fold_bn: bool = True):
         self.model = model
         self.fold_bn = fold_bn
+        self._vars_host = None
+        self._vars_dev = None
         self.variables = variables
         self.vocab = vocab
         self.tokenizer = tokenizer
@@ -40,23 +42,32 @@ class GPVEngine:
         self._beam = jax.jit(self._beam_fn,
                              static_argnames=("beam_size",))
 
-    def __setattr__(self, name, value):
+    @property
+    def variables(self):
+        # Commit the weights to this process's default device ONCE, lazily.
+        # fold_frozen_bn returns host numpy (and multi-host rank-0 eval
+        # hands us numpy fetched from global arrays, trainer.py); passing
+        # numpy leaves into the jitted cores would re-upload every weight on
+        # EVERY predict call (measured: 23 s/batch over the dev relay vs
+        # 40 ms with resident weights). Lazy so that processes that build an
+        # engine but never predict (multi-host non-main ranks: eval/vis are
+        # rank-0-only) never spend HBM on a second weight copy.
+        if self._vars_dev is None and self._vars_host is not None:
+            self._vars_dev = jax.device_put(self._vars_host)
+            self._vars_host = None
+        return self._vars_dev
+
+    @variables.setter
+    def variables(self, value):
         # serving-path weight folding (see ops/fold_bn.py) applied whenever
         # fresh variables are installed
-        if name == "variables" and value is not None:
-            if getattr(self, "fold_bn", False) and "batch_stats" in value \
-                    and value["batch_stats"]:
-                from .ops.fold_bn import fold_frozen_bn
-                p, s = fold_frozen_bn(value["params"], value["batch_stats"])
-                value = {"params": p, "batch_stats": s}
-            # Commit the weights to this process's default device ONCE.
-            # fold_frozen_bn returns host numpy (and multi-host rank-0 eval
-            # hands us numpy fetched from global arrays, trainer.py:221-229);
-            # passing numpy leaves into the jitted cores would re-upload
-            # every weight on EVERY predict call (measured: 23 s/batch over
-            # the dev relay vs 40 ms with resident weights).
-            value = jax.device_put(value)
-        object.__setattr__(self, name, value)
+        if value is not None and self.fold_bn and "batch_stats" in value \
+                and value["batch_stats"]:
+            from .ops.fold_bn import fold_frozen_bn
+            p, s = fold_frozen_bn(value["params"], value["batch_stats"])
+            value = {"params": p, "batch_stats": s}
+        self._vars_host = value
+        self._vars_dev = None
 
     @classmethod
     def from_config(cls, model_cfg, vocab: AnswerVocab,

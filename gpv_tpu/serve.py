@@ -27,8 +27,11 @@ class GPVServer:
         does not pay a full padded batch (each bucket is one extra XLA
         executable — static shapes). The largest bucket is the batch size.
         warmup: optional (H, W) — compile every bucket at construction for
-        that image size (otherwise the first request at each occupancy
-        level pays its compile)."""
+        that image size, both the mask-less and the vocab-masked executable
+        (mask CONTENT doesn't matter for compilation — all masks share one
+        (V,) float32 shape — so this covers every later masked request).
+        Otherwise the first request at each (occupancy, masked?) level pays
+        its compile."""
         self.engine = engine
         if bucket_sizes:
             bucket_sizes = sorted(int(b) for b in bucket_sizes)
@@ -38,9 +41,12 @@ class GPVServer:
         self.max_wait_s = max_wait_ms / 1000.0
         if warmup:
             h, w = warmup
+            vm = np.zeros((len(engine.vocab),), np.float32)
             for b in self.buckets:
                 engine.predict(np.zeros((b, h, w, 3), np.uint8),
                                ["warm up"] * b)
+                engine.predict(np.zeros((b, h, w, 3), np.uint8),
+                               ["warm up"] * b, vm)
         self._q: "queue.Queue" = queue.Queue()
         # requests deferred by mask-mismatch, served BEFORE the queue at the
         # next collection so a minority-mask request cannot be starved by a

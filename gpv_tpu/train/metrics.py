@@ -21,18 +21,11 @@ from ..evaluation.voc_ap import voc_ap
 from ..infer.predictions import coco_vocab_mask, iter_padded_batches
 
 
-def _iter_batches(dataset, batch_size: int, max_samples: int):
-    # Final partial batch is padded by repetition (one compiled executable
-    # per task eval); callers get only the real items.
-    for items, n_real in iter_padded_batches(dataset, batch_size,
-                                             max_samples):
-        yield items, n_real
-
-
 def vqa_accuracy(engine: GPVEngine, dataset, batch_size: int,
                  max_samples: int) -> float:
     correct = total = 0
-    for items, n_real in _iter_batches(dataset, batch_size, max_samples):
+    for items, n_real in iter_padded_batches(dataset, batch_size,
+                                              max_samples):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items])
         for it, out in zip(items[:n_real], outs[:n_real]):
@@ -48,7 +41,8 @@ def cls_metrics(engine: GPVEngine, dataset, batch_size: int,
     syn = coco_synonyms()
     mask = coco_vocab_mask(engine.vocab, use_syns=True)
     correct = total = 0
-    for items, n_real in _iter_batches(dataset, batch_size, max_samples):
+    for items, n_real in iter_padded_batches(dataset, batch_size,
+                                              max_samples):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items], mask)
         for it, out in zip(items[:n_real], outs[:n_real]):
@@ -64,7 +58,8 @@ def cap_metrics(engine: GPVEngine, dataset, batch_size: int,
                 max_samples: int) -> Dict:
     predictions = {}
     used_samples = []
-    for items, n_real in _iter_batches(dataset, batch_size, max_samples):
+    for items, n_real in iter_padded_batches(dataset, batch_size,
+                                              max_samples):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items])
         for it, out in zip(items[:n_real], outs[:n_real]):
@@ -82,7 +77,8 @@ def _box_map(engine: GPVEngine, dataset, batch_size: int,
     """Shared det/refexp subsampled mAP (reference det_metrics/
     refexp_metrics write temp HDF5; we keep boxes in memory)."""
     aps = []
-    for items, n_real in _iter_batches(dataset, batch_size, max_samples):
+    for items, n_real in iter_padded_batches(dataset, batch_size,
+                                              max_samples):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items])
         for it, out in zip(items[:n_real], outs[:n_real]):

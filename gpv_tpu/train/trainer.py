@@ -68,6 +68,16 @@ class Trainer:
         initialize_distributed(cfg.tpu)
         self.is_main = jax.process_index() == 0
         self.mesh = mesh_from_config(cfg.tpu)
+        # how long non-main ranks wait at rank-skew barriers while rank 0
+        # evals/visualizes/checkpoints (see _sync). Generous default: a
+        # barrier timeout converts a slow eval into a CLUSTER-WIDE crash
+        # (the waiting ranks raise and tear the coordinator down under
+        # rank 0), so it should only fire on a genuine hang.
+        dist_cfg = cfg.tpu.get("distributed") if hasattr(cfg.tpu, "get") \
+            else None
+        self._barrier_timeout_min = float(
+            dist_cfg.get("barrier_timeout_min", 720.0)
+            if dist_cfg else 720.0)
 
         # vocab / tokenizer
         if cfg.model.vocab:
@@ -224,12 +234,9 @@ class Trainer:
         """
         params, stats = self.state.params, self.state.batch_stats
         if jax.process_count() > 1:
-            def local(x):
-                if isinstance(x, jax.Array) and not x.is_fully_addressable:
-                    return np.asarray(x.addressable_data(0))
-                return x
-            params = jax.tree.map(local, params)
-            stats = jax.tree.map(local, stats)
+            from .checkpoint import _host_value
+            params = jax.tree.map(_host_value, params)
+            stats = jax.tree.map(_host_value, stats)
         return {"params": params, "batch_stats": stats}
 
     # ------------------------------------------------------------------
@@ -420,19 +427,23 @@ class Trainer:
         self._sync("gpv_train_end")
         return results
 
-    @staticmethod
-    def _sync(name: str, timeout_min: float = 60.0):
+    def _sync(self, name: str):
         """Cross-process barrier at rank-skew points.
 
         Uses the coordination-service KV barrier, NOT a device collective:
         rank 0's eval/vis can take many minutes, and a waiting rank must
         not trip a Gloo/ICI collective-context timeout (~30 s) in the
-        meantime.
+        meantime. The barrier timeout (default 12 h, configurable via
+        `tpu.distributed.barrier_timeout_min`) is deliberately generous:
+        when it fires, the WAITING ranks raise and leave the cluster,
+        tearing the coordination service down under rank 0 mid-eval — so
+        it must only trip on a genuine hang, never on a long eval/vis/save.
         """
         if jax.process_count() <= 1:
             return
         from jax._src import distributed
         client = distributed.global_state.client
         if client is not None:
-            client.wait_at_barrier(name,
-                                   timeout_in_ms=int(timeout_min * 60_000))
+            client.wait_at_barrier(
+                name,
+                timeout_in_ms=int(self._barrier_timeout_min * 60_000))

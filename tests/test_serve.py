@@ -192,3 +192,36 @@ class TestWeightResidency:
         eng.variables = jax.tree.map(np.asarray, variables)
         for leaf in jax.tree.leaves(eng.variables):
             assert isinstance(leaf, jax.Array), type(leaf)
+
+    def test_install_is_lazy_until_first_read(self, engine):
+        """Installing weights must NOT touch the device: multi-host
+        non-main ranks build an engine they never predict with (eval/vis
+        are rank-0-only), and an eager upload would hold a second full
+        weight copy in HBM on every rank (round-3 review)."""
+        host_vars = jax.tree.map(np.asarray, engine.variables)
+        eng = GPVEngine(engine.model, host_vars, engine.vocab,
+                        engine.tokenizer)
+        assert eng._vars_dev is None  # nothing uploaded at install
+        assert eng._vars_host is not None
+        leaves = jax.tree.leaves(eng.variables)  # first read commits once
+        assert all(isinstance(lf, jax.Array) for lf in leaves)
+        # ...and drops the host copy (one resident copy total)
+        assert eng._vars_dev is not None and eng._vars_host is None
+
+
+class TestWarmupCoverage:
+    def test_warmup_covers_masked_and_unmasked_executables(self, engine):
+        """Construction-time warmup must compile BOTH the mask-less and the
+        vocab-masked executable per bucket — vocab-masked requests are a
+        first-class serving path (classification), and a serving-time XLA
+        compile is minutes over a real relay (round-3 review)."""
+        srv = GPVServer(engine, bucket_sizes=(3,), max_wait_ms=10,
+                        num_workers=1, warmup=(48, 64))
+        n0 = engine._greedy._cache_size()
+        mask = np.full((VOCAB,), -10000.0, np.float32)
+        mask[9] = 0.0
+        img = np.zeros((48, 64, 3), np.uint8)
+        srv.submit(img, "which one?", mask).result(timeout=120)
+        srv.submit(img, "open question?").result(timeout=120)
+        srv.close()
+        assert engine._greedy._cache_size() == n0  # no serving-time compile
