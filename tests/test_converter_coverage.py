@@ -243,10 +243,17 @@ class TestTorchvisionBackboneConverter:
                     text_decoder_layers=1, text_decoder_heads=4,
                     detr_cfg=detr_cfg, bert_layers=1, bert_hidden=32,
                     bert_heads=4, bert_vocab_size=50)
-        return model.init(jax.random.PRNGKey(0),
-                          jnp.zeros((1, 64, 64, 3)),
-                          jnp.zeros((1, 4), jnp.int32),
-                          jnp.zeros((1, 4), jnp.int32), train=False)
+        # these tests only need the STRUCTURE (shapes) plus distinguishable
+        # concrete values; eval_shape traces without compiling/executing the
+        # init graph (~30 s saved on the 1-vCPU suite)
+        spec = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)),
+                               jnp.zeros((1, 4), jnp.int32),
+                               jnp.zeros((1, 4), jnp.int32), train=False))
+        rng = np.random.RandomState(7)
+        return jax.tree.map(
+            lambda s: rng.standard_normal(s.shape).astype(s.dtype), spec)
 
     def test_structure_covers_flax_backbone_exactly(self):
         from gpv_tpu.train.checkpoint import convert_torchvision_resnet50

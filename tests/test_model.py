@@ -30,12 +30,11 @@ def tiny_gpv(**kw):
 
 @pytest.fixture(scope="module")
 def model_and_vars():
+    from conftest import tiny_init
     model = tiny_gpv()
-    rng = jax.random.PRNGKey(0)
     imgs = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3))
     qids = jax.random.randint(jax.random.PRNGKey(2), (B, 5), 0, 100)
-    aids = jax.random.randint(jax.random.PRNGKey(3), (B, 8), 0, VOCAB)
-    variables = model.init(rng, imgs, qids, aids, train=False)
+    variables = tiny_init(model)
     return model, variables, imgs, qids
 
 
@@ -159,11 +158,8 @@ class TestEngineNativeRes:
         rng = np.random.RandomState(0)
         vocab = AnswerVocab.debug(size=VOCAB)
         engine = GPVEngine(model, None, vocab, WordPieceTokenizer.debug())
-        imgs0 = jnp.zeros((1, 64, 64, 3))
-        variables = model.init(jax.random.PRNGKey(0), imgs0,
-                               jnp.zeros((1, 4), jnp.int32),
-                               jnp.zeros((1, 4), jnp.int32), train=False)
-        engine.variables = variables
+        from conftest import tiny_init
+        engine.variables = tiny_init(model)
         images = [rng.randint(0, 255, (50, 70, 3), np.uint8),
                   rng.randint(0, 255, (90, 120, 3), np.uint8),
                   rng.randint(0, 255, (60, 60, 3), np.uint8)]

@@ -35,8 +35,8 @@ def setup():
     qids = jnp.asarray(rng.randint(1, 100, (B, TQ)).astype(np.int32))
     qvalid = jnp.asarray(
         np.arange(TQ)[None, :] < np.asarray(LENS)[:, None])
-    variables = model.init(jax.random.PRNGKey(0), images,
-                           qids, jnp.zeros((B, 4), jnp.int32), train=False)
+    from conftest import tiny_init
+    variables = tiny_init(model)
     # reference-batched variant shares the SAME weights (flag is not a param)
     model_ref = tiny_gpv(mask_query_pads=False)
     return model, model_ref, variables, images, qids, qvalid

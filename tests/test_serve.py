@@ -15,14 +15,11 @@ from test_model import tiny_gpv, VOCAB
 
 @pytest.fixture(scope="module")
 def engine():
+    from conftest import tiny_init
     model = tiny_gpv()
     vocab = AnswerVocab.debug(size=VOCAB)
     eng = GPVEngine(model, None, vocab, WordPieceTokenizer.debug())
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 48, 64, 3)),
-                           jnp.zeros((1, 4), jnp.int32),
-                           jnp.zeros((1, 4), jnp.int32), train=False)
-    eng.variables = variables
+    eng.variables = tiny_init(model)
     return eng
 
 
@@ -182,14 +179,11 @@ class TestWeightResidency:
         host fetch) must commit them to device ONCE — numpy leaves handed
         to the jitted cores would re-upload every weight on every predict
         (measured 23 s/batch over the dev relay vs 40 ms resident)."""
+        from conftest import tiny_init
         model = tiny_gpv()
         vocab = AnswerVocab.debug(size=VOCAB)
         eng = GPVEngine(model, None, vocab, WordPieceTokenizer.debug())
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 48, 64, 3)),
-                               jnp.zeros((1, 4), jnp.int32),
-                               jnp.zeros((1, 4), jnp.int32), train=False)
-        eng.variables = jax.tree.map(np.asarray, variables)
+        eng.variables = jax.tree.map(np.asarray, tiny_init(model))
         for leaf in jax.tree.leaves(eng.variables):
             assert isinstance(leaf, jax.Array), type(leaf)
 

@@ -44,22 +44,13 @@ def training_cfg(**kw):
     return cfg
 
 
-_INIT_CACHE: dict = {}
 
 
 def init_vars(model):
-    """Module-scope memoized `model.init`: init values depend only on the
-    module config and seed — not the batch size — so tests share one init
-    per distinct model instead of re-tracing it (suite speed, VERDICT r2
-    item 9). Keyed by repr because detr_cfg dict fields make flax modules
-    unhashable."""
-    key = repr(model)
-    if key not in _INIT_CACHE:
-        _INIT_CACHE[key] = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 48, 64, 3), jnp.float32),
-            jnp.zeros((1, 5), jnp.int32), jnp.zeros((1, 8), jnp.int32),
-            train=False)
-    return _INIT_CACHE[key]
+    """Session-memoized `model.init` (shared across test modules via
+    conftest.tiny_init — suite speed, VERDICT r2 item 9)."""
+    from conftest import tiny_init
+    return tiny_init(model)
 
 
 class TestOptimizer:
