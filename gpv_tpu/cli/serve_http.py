@@ -1,0 +1,164 @@
+"""HTTP serving front-end around `GPVServer` (stdlib only).
+
+The reference has no serving story beyond one-off CLIs; this completes the
+production path: a threaded HTTP endpoint feeding the asynchronous batching
+server (`gpv_tpu/serve.py`), which coalesces concurrent requests into
+fixed-shape batches for the jitted engine.
+
+Protocol (JSON over HTTP):
+  GET  /healthz   -> {"ok": true}
+  POST /predict   body {"image": <base64 JPEG/PNG>, "query": "<text>",
+                        "task": "vqa"|"captioning"|"classification"|
+                                "classification_syns"|"detection" (optional)}
+               -> {"answer": str, "boxes": [[cx,cy,w,h] x Q],
+                   "relevance": [float x Q]}
+
+`task=classification[_syns]` applies the COCO-class vocab mask exactly like
+the offline eval path (`infer/predictions.py:coco_vocab_mask`); all other
+tasks decode over the open vocabulary (the task token is carried by the
+query text itself, as upstream).
+
+Images are resized server-side to the model's training resolution
+(`task_configs.image_size`, default 480x640) so every request shares one
+static XLA shape per occupancy bucket — arbitrary native sizes would each
+pay their own compile (use `GPVEngine.predict_native` offline for that).
+
+Usage:
+  python -m gpv_tpu.cli.serve_http ckpt=<path> [port=8000] \
+      [serve.batch_size=20] [serve.max_wait_ms=5] [model.vocab=...]
+"""
+from __future__ import annotations
+
+import base64
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _decode_image(b64: str, size_hw) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+    h, w = size_hw
+    if img.size != (w, h):
+        img = img.resize((w, h), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
+def make_handler(server, vocab_masks: dict, size_hw, timeout_s: float = 120.0):
+    """Build the request-handler class over a running GPVServer.
+
+    vocab_masks: task name -> additive (V,) float32 mask (or None).
+    """
+
+    class Handler(BaseHTTPRequestHandler):
+        # one engine dispatch can take seconds cold; don't let the default
+        # HTTP/1.0-style close kill keep-alive batching clients
+        protocol_version = "HTTP/1.1"
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                query = req["query"]
+                image = _decode_image(req["image"], size_hw)
+                task = req.get("task")
+                if task is not None and task not in vocab_masks:
+                    self._reply(400, {
+                        "error": f"unknown task {task!r}; known: "
+                                 f"{sorted(vocab_masks)}"})
+                    return
+                mask = vocab_masks.get(task) if task else None
+            except Exception as e:
+                self._reply(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                out = server.submit(image, query, mask).result(
+                    timeout=timeout_s)
+                self._reply(200, {
+                    "answer": out["answer"],
+                    "boxes": np.asarray(out["boxes"]).tolist(),
+                    "relevance": np.asarray(out["relevance"]).tolist()})
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return Handler
+
+
+def make_http_server(server, vocab_masks: dict, size_hw,
+                     host: str = "0.0.0.0", port: int = 8000,
+                     timeout_s: float = 120.0) -> ThreadingHTTPServer:
+    handler = make_handler(server, vocab_masks, size_hw, timeout_s)
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_in_thread(httpd: ThreadingHTTPServer) -> threading.Thread:
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return t
+
+
+def main(argv=None):
+    from inference import build_engine
+
+    from gpv_tpu.infer.predictions import coco_vocab_mask
+    from gpv_tpu.serve import GPVServer
+    from gpv_tpu.utils.config import load_config
+
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = load_config("configs", "exp/gpv_inference", overrides)
+    engine = build_engine(cfg)
+
+    H = int(cfg.task_configs.image_size.H)
+    W = int(cfg.task_configs.image_size.W)
+    serve_cfg = cfg.get("serve") or {}
+    batch = int(serve_cfg.get("batch_size", 20))
+    buckets = tuple(serve_cfg.get("bucket_sizes", (1, 8, batch)))
+    server = GPVServer(
+        engine, max_wait_ms=float(serve_cfg.get("max_wait_ms", 5.0)),
+        num_workers=int(serve_cfg.get("num_workers", 2)),
+        bucket_sizes=buckets, warmup=(H, W))
+    masks = {
+        "vqa": None, "captioning": None, "detection": None,
+        "classification": coco_vocab_mask(engine.vocab, use_syns=False),
+        "classification_syns": coco_vocab_mask(engine.vocab, use_syns=True),
+    }
+    port = int(cfg.get("port", 8000))
+    httpd = make_http_server(server, masks, (H, W),
+                             host=str(cfg.get("host", "0.0.0.0")), port=port)
+    print(f"gpv_tpu serving on :{port} (buckets={buckets}, "
+          f"image {H}x{W}); POST /predict, GET /healthz", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

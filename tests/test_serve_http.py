@@ -1,0 +1,96 @@
+"""HTTP serving front-end tests (gpv_tpu/cli/serve_http.py) on the tiny
+engine: health check, base64 round-trip predict, task vocab-mask routing,
+and error paths."""
+import base64
+import io
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gpv_tpu.serve import GPVServer
+from gpv_tpu.cli.serve_http import make_http_server, serve_in_thread
+
+from test_model import VOCAB
+from test_serve import engine  # noqa: F401 (module-scoped tiny engine)
+
+
+@pytest.fixture(scope="module")
+def http_stack(engine):  # noqa: F811
+    mask = np.full((VOCAB,), -10000.0, np.float32)
+    mask[5] = 0.0
+    srv = GPVServer(engine, bucket_sizes=(1, 2), max_wait_ms=10,
+                    num_workers=1)
+    httpd = make_http_server(srv, {"vqa": None, "classification": mask},
+                             (48, 64), host="127.0.0.1", port=0)
+    serve_in_thread(httpd)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, mask
+    httpd.shutdown()
+    srv.close()
+
+
+def _post(base, payload, timeout=300):
+    req = urllib.request.Request(
+        base + "/predict", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _b64_png(img):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class TestHttpFrontend:
+    def test_healthz(self, http_stack):
+        base, _ = http_stack
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+
+    def test_predict_matches_direct_engine(self, http_stack, engine):  # noqa: F811
+        base, mask = http_stack
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        out = _post(base, {"image": _b64_png(img),
+                           "query": "what is this?",
+                           "task": "classification"})
+        assert isinstance(out["answer"], str)
+        assert len(out["boxes"]) == 10 and len(out["boxes"][0]) == 4
+        assert len(out["relevance"]) == 10
+        # PNG round-trip is lossless -> must equal a direct masked predict
+        ref = engine.predict(img[None], ["what is this?"], mask)[0]
+        assert out["answer"] == ref["answer"]
+        np.testing.assert_allclose(np.asarray(out["boxes"]), ref["boxes"],
+                                   atol=1e-5)
+
+    def test_resizes_native_input(self, http_stack):
+        base, _ = http_stack
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 255, (100, 130, 3), np.uint8)  # native size
+        out = _post(base, {"image": _b64_png(img), "query": "a photo of"})
+        assert isinstance(out["answer"], str)  # resized to 48x64, served
+
+    def test_unknown_task_is_400(self, http_stack):
+        base, _ = http_stack
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, {"image": _b64_png(np.zeros((8, 8, 3), np.uint8)),
+                         "query": "q", "task": "nope"}, timeout=30)
+        assert ei.value.code == 400
+
+    def test_malformed_body_is_400(self, http_stack):
+        base, _ = http_stack
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, {"query": "no image"}, timeout=30)
+        assert ei.value.code == 400
+
+    def test_unknown_path_is_404(self, http_stack):
+        base, _ = http_stack
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(base + "/nope", timeout=30)
+        assert ei.value.code == 404
