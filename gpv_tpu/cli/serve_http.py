@@ -26,6 +26,9 @@ pay their own compile (use `GPVEngine.predict_native` offline for that).
 Usage:
   python -m gpv_tpu.cli.serve_http ckpt=<path> [port=8000] \
       [serve.batch_size=20] [serve.max_wait_ms=5] [model.vocab=...]
+  python -m gpv_tpu.cli.serve_http bundle=<export dir> [port=8000] ...
+      # serve an AOT bundle (gpv_tpu.cli.export_serving) — no model code
+      # is loaded; buckets/image size come from the bundle manifest
 """
 from __future__ import annotations
 
@@ -128,15 +131,24 @@ def main(argv=None):
     from gpv_tpu.serve import GPVServer
     from gpv_tpu.utils.config import load_config
 
-    overrides = list(argv if argv is not None else sys.argv[1:])
+    raw = list(argv if argv is not None else sys.argv[1:])
+    bundle = next((o.split("=", 1)[1] for o in raw
+                   if o.startswith("bundle=")), None)
+    overrides = [o for o in raw if not o.startswith("bundle=")]
     cfg = load_config("configs", "exp/gpv_inference", overrides)
-    engine = build_engine(cfg)
-
-    H = int(cfg.task_configs.image_size.H)
-    W = int(cfg.task_configs.image_size.W)
-    serve_cfg = cfg.get("serve") or {}
-    batch = int(serve_cfg.get("batch_size", 20))
-    buckets = tuple(serve_cfg.get("bucket_sizes", (1, 8, batch)))
+    if bundle:
+        from gpv_tpu.export import ExportedEngine
+        engine = ExportedEngine(bundle)
+        H, W = engine.image_hw
+        serve_cfg = cfg.get("serve") or {}
+        buckets = tuple(serve_cfg.get("bucket_sizes", engine.batch_sizes))
+    else:
+        engine = build_engine(cfg)
+        H = int(cfg.task_configs.image_size.H)
+        W = int(cfg.task_configs.image_size.W)
+        serve_cfg = cfg.get("serve") or {}
+        batch = int(serve_cfg.get("batch_size", 20))
+        buckets = tuple(serve_cfg.get("bucket_sizes", (1, 8, batch)))
     server = GPVServer(
         engine, max_wait_ms=float(serve_cfg.get("max_wait_ms", 5.0)),
         num_workers=int(serve_cfg.get("num_workers", 2)),

@@ -96,6 +96,24 @@ class TestExportBundle:
             exported.predict(np.zeros((2, 16, 16, 3), np.uint8), ["a", "b"])
 
 
+def test_bundle_drives_batching_server(bundle, engine):
+    """GPVServer composes over ExportedEngine (predict-compatible)."""
+    from gpv_tpu.serve import GPVServer
+
+    out, _ = bundle
+    exported = ExportedEngine(out)
+    server = GPVServer(exported, bucket_sizes=(2,), max_wait_ms=20,
+                       num_workers=1)
+    try:
+        imgs = _imgs(4, seed=11)
+        futs = [server.submit(imgs[i], f"query {i}") for i in range(4)]
+        ref = engine.predict(imgs, [f"query {i}" for i in range(4)])
+        for f, r in zip(futs, ref):
+            assert f.result(timeout=120)["answer"] == r["answer"]
+    finally:
+        server.close()
+
+
 def test_export_cli_tiny(tmp_path):
     """Drive the export CLI end-to-end with the tiny model config."""
     from _fake_data import TINY_OVERRIDES
