@@ -29,9 +29,35 @@ from .text.wordpiece import WordPieceTokenizer
 class GPVEngine:
     def __init__(self, model: GPV, variables, vocab: AnswerVocab,
                  tokenizer: WordPieceTokenizer, max_query_len: int = 20,
-                 fold_bn: bool = True):
+                 fold_bn: bool = True, mesh=None, data_axis: str = None):
+        """mesh: optional `jax.sharding.Mesh` for data-parallel inference —
+        weights replicate, batch rows shard over `data_axis` (default: the
+        mesh's first axis), and XLA partitions every jitted core SPMD
+        (computation follows data; the jit signatures don't change). Batches
+        whose size doesn't divide the axis pad by repeating the last row
+        (same trick as GPVServer) and outputs slice back. The reference
+        evaluates on exactly one GPU (`configs/exp/gpv.yaml:157-158`); this
+        scales the same eval/serving graph across a TPU slice. The mesh must
+        be fully addressable (single-process) — multi-host eval stays
+        rank-0 (see train/trainer.py).
+        """
         self.model = model
         self.fold_bn = fold_bn
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            if any(d.process_index != jax.process_index()
+                   for d in mesh.devices.flat):
+                raise ValueError(
+                    "GPVEngine mesh must be fully addressable by this "
+                    "process (multi-host eval is rank-0-only; build the "
+                    "mesh over jax.local_devices())")
+            axis = data_axis or mesh.axis_names[0]
+            self._dp = int(mesh.shape[axis])
+            self._sh_repl = NamedSharding(mesh, PartitionSpec())
+            self._sh_batch = NamedSharding(mesh, PartitionSpec(axis))
+        else:
+            self._dp = 1
         self._vars_host = None
         self._vars_dev = None
         self.variables = variables
@@ -53,7 +79,9 @@ class GPVEngine:
         # engine but never predict (multi-host non-main ranks: eval/vis are
         # rank-0-only) never spend HBM on a second weight copy.
         if self._vars_dev is None and self._vars_host is not None:
-            self._vars_dev = jax.device_put(self._vars_host)
+            self._vars_dev = (jax.device_put(self._vars_host, self._sh_repl)
+                              if self.mesh is not None
+                              else jax.device_put(self._vars_host))
             self._vars_host = None
         return self._vars_dev
 
@@ -73,7 +101,7 @@ class GPVEngine:
     def from_config(cls, model_cfg, vocab: AnswerVocab,
                     tokenizer: WordPieceTokenizer, variables=None,
                     dtype=jnp.bfloat16, seed: int = 0,
-                    max_query_len: int = 20):
+                    max_query_len: int = 20, mesh=None):
         model = build_gpv(model_cfg, vocab_size=len(vocab), dtype=dtype)
         # queries can never exceed the BERT position table
         max_query_len = min(max_query_len, model.bert_max_len)
@@ -84,7 +112,7 @@ class GPVEngine:
             aids = jnp.zeros((1, 4), jnp.int32)
             variables = model.init(rng, imgs, qids, aids, train=False)
         return cls(model, variables, vocab, tokenizer,
-                   max_query_len=max_query_len)
+                   max_query_len=max_query_len, mesh=mesh)
 
     # ---- jitted cores ----
 
@@ -125,12 +153,37 @@ class GPVEngine:
 
     # ---- host API ----
 
+    @staticmethod
+    def _pad_rows(arr: np.ndarray, pad: int) -> np.ndarray:
+        # pad a batch to a static shape by repeating the last row (the
+        # duplicate rows compute real-but-discarded results; outputs slice
+        # back to the caller's n)
+        if not pad:
+            return arr
+        return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+
+    def _put_batch(self, arr):
+        a = jnp.asarray(np.asarray(arr))
+        return (jax.device_put(a, self._sh_batch)
+                if self.mesh is not None else a)
+
+    def _put_repl(self, arr):
+        if arr is None:
+            return None
+        a = jnp.asarray(np.asarray(arr))
+        return (jax.device_put(a, self._sh_repl)
+                if self.mesh is not None else a)
+
     def _prep(self, images_uint8: np.ndarray, queries: List[str]):
-        # ship uint8 to device; the jitted core casts/normalizes there
-        images = jnp.asarray(np.asarray(images_uint8))
-        qids, qvalid = self.tokenizer.batch_encode(queries,
-                                                   self.max_query_len)
-        return images, jnp.asarray(qids), jnp.asarray(qvalid)
+        # ship uint8 to device; the jitted core casts/normalizes there.
+        # Under a mesh, the batch dim must divide the data axis: pad by
+        # repetition, and return the pad so callers slice outputs.
+        pad = (-len(queries)) % self._dp
+        images = self._pad_rows(np.asarray(images_uint8), pad)
+        qids, qvalid = self.tokenizer.batch_encode(
+            list(queries) + [queries[-1]] * pad, self.max_query_len)
+        return (self._put_batch(images), self._put_batch(qids),
+                self._put_batch(qvalid), pad)
 
     def predict(self, images_uint8, queries: List[str],
                 vocab_mask: Optional[np.ndarray] = None):
@@ -142,14 +195,15 @@ class GPVEngine:
 
         Returns list of B dicts {answer, boxes, relevance}.
         """
-        images, qids, qvalid = self._prep(images_uint8, queries)
-        vm = None if vocab_mask is None else jnp.asarray(vocab_mask)
+        images, qids, qvalid, _ = self._prep(images_uint8, queries)
+        vm = self._put_repl(vocab_mask)
         tokens, boxes, rel = self._greedy(self.variables, images, qids,
                                           qvalid, vm)
-        answers = self.vocab.decode_ids(np.asarray(tokens))
-        boxes, rel = np.asarray(boxes), np.asarray(rel)
+        n = len(queries)
+        answers = self.vocab.decode_ids(np.asarray(tokens)[:n])
+        boxes, rel = np.asarray(boxes)[:n], np.asarray(rel)[:n]
         return [{"answer": answers[i], "boxes": boxes[i],
-                 "relevance": rel[i]} for i in range(len(queries))]
+                 "relevance": rel[i]} for i in range(n)]
 
     def predict_native(self, images_uint8: List[np.ndarray],
                        queries: List[str],
@@ -173,20 +227,22 @@ class GPVEngine:
 
         results: list = [None] * len(images_uint8)
         for (bh, bw), idxs in groups.items():
-            batch = np.zeros((len(idxs), bh, bw, 3), np.uint8)
-            valid = np.zeros((len(idxs), bh, bw), bool)
-            for j, i in enumerate(idxs):
+            pad = (-len(idxs)) % self._dp
+            batch = np.zeros((len(idxs) + pad, bh, bw, 3), np.uint8)
+            valid = np.zeros((len(idxs) + pad, bh, bw), bool)
+            for j, i in enumerate(idxs + idxs[-1:] * pad):
                 img = images_uint8[i]
                 h, w = img.shape[:2]
                 batch[j, :h, :w] = img
                 valid[j, :h, :w] = True
             qids, qvalid = self.tokenizer.batch_encode(
-                [queries[i] for i in idxs], self.max_query_len)
-            vm = None if vocab_mask is None else jnp.asarray(vocab_mask)
+                [queries[i] for i in idxs + idxs[-1:] * pad],
+                self.max_query_len)
+            vm = self._put_repl(vocab_mask)
             tokens, boxes, rel = self._greedy(
-                self.variables, jnp.asarray(batch),
-                jnp.asarray(qids), jnp.asarray(qvalid), vm,
-                jnp.asarray(valid))
+                self.variables, self._put_batch(batch),
+                self._put_batch(qids), self._put_batch(qvalid), vm,
+                self._put_batch(valid))
             answers = self.vocab.decode_ids(np.asarray(tokens))
             boxes, rel = np.asarray(boxes), np.asarray(rel)
             for j, i in enumerate(idxs):
@@ -208,13 +264,14 @@ class GPVEngine:
         string-level parity with upstream eval outputs. Serving and the
         default API return the clean decode.
         """
-        images, qids, qvalid = self._prep(images_uint8, queries)
-        vm = None if vocab_mask is None else jnp.asarray(vocab_mask)
+        images, qids, qvalid, _ = self._prep(images_uint8, queries)
+        vm = self._put_repl(vocab_mask)
         seqs, logp, boxes, rel = self._beam(self.variables, images, qids,
                                             qvalid, vm, beam_size)
-        seqs = np.asarray(seqs)
-        probs = np.exp(np.asarray(logp))
-        boxes, rel = np.asarray(boxes), np.asarray(rel)
+        n = len(queries)
+        seqs = np.asarray(seqs)[:n]
+        probs = np.exp(np.asarray(logp)[:n])
+        boxes, rel = np.asarray(boxes)[:n], np.asarray(rel)[:n]
         out = []
         for i in range(len(queries)):
             if reference_quirks:

@@ -18,6 +18,12 @@ tree so they can be refreshed without re-exporting the graphs.
 
 No reference counterpart (the reference serves by unpickling the full
 torch module); this is the TPU-native deployment artifact.
+
+Bundles are single-device: export captures the engine's graph without mesh
+shardings (an exported sharded module pins the device topology into the
+artifact, which defeats portable deployment). For multi-chip serving run
+one `ExportedEngine`/`GPVServer` per chip behind the HTTP front-end, or use
+a live `GPVEngine(mesh=...)` for data-parallel batches.
 """
 from __future__ import annotations
 
@@ -53,6 +59,13 @@ def export_engine(engine, out_dir, batch_sizes: Sequence[int] = (1, 8, 20),
     import jax
     from jax import export as jexport
     from flax import serialization
+
+    if getattr(engine, "mesh", None) is not None:
+        raise ValueError(
+            "export_engine requires a single-device engine: a mesh engine's "
+            "export would pin the device topology into the bundle (see "
+            "module docstring). Build the engine without mesh= / with "
+            "tpu.infer_data_parallel=1 for export.")
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)

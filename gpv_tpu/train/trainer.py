@@ -167,8 +167,20 @@ class Trainer:
             grad_accum=int(cfg.training.get("grad_accum_steps", 1)),
             freeze_detr=freeze, frozen_detr_paths=matched_detr)
 
+        # in-train eval engine. tpu.infer_data_parallel shards eval batches
+        # over N local devices (-1 = all) so a slice doesn't idle 7/8 chips
+        # during epoch evals; multi-host stays single-device rank-0 (the
+        # engine mesh must be fully addressable — see GPVEngine).
+        infer_mesh = None
+        n_dp = int(cfg.tpu.get("infer_data_parallel", 1) or 1)
+        if n_dp != 1 and jax.process_count() == 1:
+            devs = jax.local_devices()
+            n_dp = len(devs) if n_dp < 0 else min(n_dp, len(devs))
+            if n_dp > 1:
+                infer_mesh = jax.sharding.Mesh(
+                    np.asarray(devs[:n_dp]), ("dp",))
         self.engine = GPVEngine(self.model, variables, self.vocab,
-                                self.tokenizer)
+                                self.tokenizer, mesh=infer_mesh)
 
         self.step = 0
         self.last_epoch = -1

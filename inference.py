@@ -32,8 +32,23 @@ def build_engine(cfg):
     bert_vocab = cfg.model.get("bert_vocab")
     tokenizer = (WordPieceTokenizer.load(bert_vocab) if bert_vocab
                  else WordPieceTokenizer.debug())
+
+    # tpu.infer_data_parallel: shard inference batches over N local devices
+    # (-1 = all). The reference evaluates on one GPU; this runs the same
+    # graph SPMD across a slice (see GPVEngine mesh docs).
+    mesh = None
+    n_dp = int((cfg.get("tpu") or {}).get("infer_data_parallel", 1) or 1)
+    if n_dp != 1:
+        devs = jax.local_devices()
+        n_dp = len(devs) if n_dp < 0 else n_dp
+        if n_dp > len(devs):
+            raise ValueError(
+                f"tpu.infer_data_parallel={n_dp} but only {len(devs)} "
+                "local devices are visible")
+        if n_dp > 1:
+            mesh = jax.sharding.Mesh(np.asarray(devs[:n_dp]), ("dp",))
     engine = GPVEngine.from_config(cfg.model, vocab, tokenizer,
-                                   dtype=jnp.bfloat16)
+                                   dtype=jnp.bfloat16, mesh=mesh)
 
     ckpt = cfg.get("ckpt")
     if ckpt:

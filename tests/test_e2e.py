@@ -106,6 +106,29 @@ class TestTrainerE2E:
         assert "refexp_map" in results
         assert results["model_selection_metric"] == results["refexp_map"]
 
+    def test_sharded_intrain_eval_matches_single_device(self, data_dir,
+                                                        tmp_path):
+        """tpu.infer_data_parallel=-1: the in-train eval engine shards
+        batches over the 8-device mesh and yields the same metrics as the
+        default single-device engine."""
+        import jax
+        cfg = tiny_cfg(data_dir, tmp_path,
+                       extra=("tpu.infer_data_parallel=-1",
+                              "exp_name=shard_eval"))
+        from gpv_tpu.engine import GPVEngine
+        from gpv_tpu.train.trainer import Trainer
+        trainer = Trainer(cfg)
+        assert trainer.engine.mesh is not None
+        assert trainer.engine._dp == len(jax.devices())
+        sharded = trainer.evaluate()
+
+        trainer.engine = GPVEngine(trainer.model, None, trainer.vocab,
+                                   trainer.tokenizer)
+        single = trainer.evaluate()
+        assert set(sharded) == set(single)
+        for k in single:
+            assert sharded[k] == pytest.approx(single[k], abs=1e-5), k
+
     def test_compute_predictions_pipeline(self, data_dir, tmp_path):
         cfg = tiny_cfg(data_dir, tmp_path)
         from gpv_tpu.datasets.coco import CocoVqa
