@@ -7,6 +7,9 @@ fixed-shape batches for the jitted engine.
 
 Protocol (JSON over HTTP):
   GET  /healthz   -> {"ok": true}
+  GET  /stats     -> serving counters (submitted/completed/failed, queue
+                     depth, per-bucket batch counts, batch occupancy,
+                     submit->result latency p50/p90/p99 ms) — GPVServer.stats
   POST /predict   body {"image": <base64 JPEG/PNG>, "query": "<text>",
                         "task": "vqa"|"captioning"|"classification"|
                                 "classification_syns"|"detection" (optional)}
@@ -73,6 +76,10 @@ def make_handler(server, vocab_masks: dict, size_hw, timeout_s: float = 120.0):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"ok": True})
+            elif self.path == "/stats":
+                # serving counters: occupancy, per-bucket batches, queue
+                # depth, submit->result latency percentiles (GPVServer.stats)
+                self._reply(200, server.stats())
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -162,7 +169,8 @@ def main(argv=None):
     httpd = make_http_server(server, masks, (H, W),
                              host=str(cfg.get("host", "0.0.0.0")), port=port)
     print(f"gpv_tpu serving on :{port} (buckets={buckets}, "
-          f"image {H}x{W}); POST /predict, GET /healthz", flush=True)
+          f"image {H}x{W}); POST /predict, GET /healthz, GET /stats",
+          flush=True)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
+from collections import deque
 from concurrent.futures import Future
 from typing import List, Optional
 
@@ -53,6 +55,17 @@ class GPVServer:
         # sustained majority-mask stream
         self._pending: list = []
         self._pending_lock = threading.Lock()
+        # observability: counters + a bounded latency reservoir (the last
+        # 1000 request latencies), snapshot by stats()
+        self._stats_lock = threading.Lock()
+        self._submitted = 0
+        self._completed = 0
+        self._failed = 0
+        self._deferred = 0
+        self._batches = {b: 0 for b in self.buckets}
+        self._occupied_rows = 0
+        self._padded_rows = 0
+        self._latencies: deque = deque(maxlen=1000)
         self._closed = threading.Event()
         self._workers = [
             threading.Thread(target=self._worker, daemon=True)
@@ -66,7 +79,10 @@ class GPVServer:
         if self._closed.is_set():
             raise RuntimeError("server closed")
         fut: Future = Future()
-        self._q.put((image_uint8, query, vocab_mask, fut))
+        with self._stats_lock:
+            self._submitted += 1
+        self._q.put((image_uint8, query, vocab_mask, fut,
+                     time.monotonic()))
         return fut
 
     @staticmethod
@@ -101,7 +117,6 @@ class GPVServer:
         items = [first]
         key = self._mask_key(first[2])
         deferred = []
-        import time
         deadline = time.monotonic() + self.max_wait_s
         # same-mask requests already deferred join this batch first
         with self._pending_lock:
@@ -128,6 +143,8 @@ class GPVServer:
         if deferred:
             with self._pending_lock:
                 self._pending.extend(deferred)
+            with self._stats_lock:
+                self._deferred += len(deferred)
         return items
 
     def _worker(self):
@@ -149,12 +166,53 @@ class GPVServer:
                 queries.append(queries[-1])
             try:
                 outs = self.engine.predict(np.stack(images), queries, mask)
-                for (_, _, _, fut), out in zip(items, outs[:n]):
+                done = time.monotonic()
+                with self._stats_lock:
+                    self._batches[target] = self._batches.get(target, 0) + 1
+                    self._occupied_rows += n
+                    self._padded_rows += target - n
+                    self._completed += n
+                    for it in items:
+                        self._latencies.append(done - it[4])
+                for (_, _, _, fut, _), out in zip(items, outs[:n]):
                     fut.set_result(out)
             except Exception as e:
-                for _, _, _, fut in items:
+                with self._stats_lock:
+                    self._failed += n
+                for _, _, _, fut, _ in items:
                     if not fut.done():
                         fut.set_exception(e)
+
+    def stats(self) -> dict:
+        """Snapshot of serving counters for monitoring/autoscaling.
+
+        Occupancy = real rows / executed rows (pad-by-repetition waste is
+        `1 - occupancy`); latency percentiles are over the last 1000
+        completed requests (submit -> result), in milliseconds.
+        """
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+            executed = self._occupied_rows + self._padded_rows
+            out = {
+                "submitted": self._submitted,
+                "completed": self._completed,
+                "failed": self._failed,
+                "queued": self._q.qsize() + len(self._pending),
+                "mask_deferrals": self._deferred,
+                "batches_per_bucket": dict(self._batches),
+                "batch_occupancy": (self._occupied_rows / executed
+                                    if executed else None),
+                "buckets": list(self.buckets),
+            }
+        if lat:
+            def pct(p):
+                return round(1000 * lat[min(len(lat) - 1,
+                                            int(p * len(lat)))], 3)
+            out["latency_ms"] = {"p50": pct(0.50), "p90": pct(0.90),
+                                 "p99": pct(0.99), "n": len(lat)}
+        else:
+            out["latency_ms"] = None
+        return out
 
     def close(self):
         self._closed.set()

@@ -43,6 +43,29 @@ class TestServer:
             np.testing.assert_allclose(got["boxes"], ref["boxes"],
                                        atol=2e-2)
 
+    def test_stats_counters_account_for_all_traffic(self, engine):
+        rng = np.random.RandomState(3)
+        images = [rng.randint(0, 255, (48, 64, 3), np.uint8)
+                  for _ in range(7)]
+        server = GPVServer(engine, batch_size=4, max_wait_ms=50,
+                           num_workers=1)
+        futs = [server.submit(im, f"q {i}")
+                for i, im in enumerate(images)]
+        for f in futs:
+            f.result(timeout=120)
+        s = server.stats()
+        server.close()
+        assert s["submitted"] == 7
+        assert s["completed"] == 7
+        assert s["failed"] == 0
+        assert s["queued"] == 0
+        # every executed row is either a real request or a pad
+        executed = sum(b * n for b, n in s["batches_per_bucket"].items())
+        assert executed >= 7
+        assert s["batch_occupancy"] == pytest.approx(7 / executed)
+        assert s["latency_ms"]["n"] == 7
+        assert s["latency_ms"]["p50"] <= s["latency_ms"]["p99"]
+
     def test_concurrent_distinct_vocab_masks_are_isolated(self, engine):
         """Two mask populations in flight: each request must be decoded
         under ITS OWN mask (regression: r1 applied items[0]'s mask to the
@@ -92,6 +115,8 @@ class TestCollectScheduling:
         srv._q = _q.Queue()
         srv._pending = []
         srv._pending_lock = threading.Lock()
+        srv._stats_lock = threading.Lock()
+        srv._deferred = 0
         return srv
 
     @staticmethod

@@ -94,3 +94,19 @@ class TestHttpFrontend:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(base + "/nope", timeout=30)
         assert ei.value.code == 404
+
+    def test_stats_endpoint(self, http_stack):
+        """GET /stats reflects served traffic (runs after the predict
+        tests in this class, so counters must be non-zero)."""
+        base, _ = http_stack
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        _post(base, {"image": _b64_png(img), "query": "stats probe"})
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            s = json.loads(r.read())
+        assert s["submitted"] >= s["completed"] >= 1
+        assert s["failed"] == 0
+        assert s["latency_ms"]["n"] >= 1
+        assert s["latency_ms"]["p50"] <= s["latency_ms"]["p99"]
+        assert 0 < s["batch_occupancy"] <= 1
+        assert sum(s["batches_per_bucket"].values()) >= 1
