@@ -13,6 +13,7 @@ torch->flax converter that understands the reference's parameter naming
 """
 from __future__ import annotations
 
+import threading
 from pathlib import Path
 from typing import Any, Dict
 
@@ -24,7 +25,7 @@ import numpy as np
 # orbax native checkpoints
 # --------------------------------------------------------------------------
 
-def _checkpointer():
+def _checkpointer(async_write: bool = False):
     """Rank-0-only orbax checkpointer.
 
     The trainer gates save/restore to rank 0 (the reference's torch.save
@@ -33,15 +34,47 @@ def _checkpointer():
     a multi-process cluster. Restrict the active set to this process — the
     payload is host numpy (fully-replicated values), so no other process's
     data is needed.
+
+    async_write: an `ocp.AsyncCheckpointer` whose save() returns as soon as
+    the (already host-resident) payload is handed to the writer thread —
+    training overlaps the disk write. Join via `wait_for_saves()`.
     """
     import orbax.checkpoint as ocp
+    kw = {}
     if jax.process_count() > 1:
-        return ocp.Checkpointer(
-            ocp.StandardCheckpointHandler(),
-            multiprocessing_options=ocp.options.MultiprocessingOptions(
-                primary_host=jax.process_index(),
-                active_processes={jax.process_index()}))
+        kw["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+            primary_host=jax.process_index(),
+            active_processes={jax.process_index()})
+    if async_write:
+        return ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler(), **kw)
+    if kw:
+        return ocp.Checkpointer(ocp.StandardCheckpointHandler(), **kw)
     return ocp.StandardCheckpointer()
+
+
+# async saves in flight: path -> AsyncCheckpointer (joined before any new
+# save/restore touches the same path, and by trainer shutdown)
+_INFLIGHT: Dict[str, Any] = {}
+_INFLIGHT_LOCK = threading.Lock()
+
+
+def wait_for_saves(path=None):
+    """Block until pending async checkpoint writes finish.
+
+    path=None joins ALL in-flight saves (trainer end / process exit);
+    otherwise only the save targeting that path.
+    """
+    with _INFLIGHT_LOCK:
+        if path is None:
+            pending = list(_INFLIGHT.items())
+        else:
+            key = str(Path(path).resolve())
+            pending = [(key, _INFLIGHT[key])] if key in _INFLIGHT else []
+    for key, ckptr in pending:
+        ckptr.wait_until_finished()
+        with _INFLIGHT_LOCK:
+            if _INFLIGHT.get(key) is ckptr:
+                del _INFLIGHT[key]
 
 
 def _host_value(x):
@@ -52,9 +85,19 @@ def _host_value(x):
 
 
 def save_checkpoint(ckpt_dir: str | Path, state, metadata: Dict[str, Any],
-                    name: str = "model") -> Path:
+                    name: str = "model", async_write: bool = False) -> Path:
+    """Write state+metadata under ckpt_dir/name.
+
+    async_write=True returns once the host-resident payload is handed to
+    orbax's writer thread (the device->host fetch below is synchronous
+    either way — the next train step may donate these buffers). Orbax
+    writes atomically (tmp dir + rename), so a crash mid-write leaves the
+    previous checkpoint intact, same as the sync path. Join with
+    `wait_for_saves()`.
+    """
     path = Path(ckpt_dir).resolve() / name
-    ckptr = _checkpointer()
+    wait_for_saves(path)  # never two writers on one path
+    ckptr = _checkpointer(async_write)
     payload = {
         "params": jax.tree.map(_host_value, state.params),
         "batch_stats": jax.tree.map(_host_value, state.batch_stats),
@@ -65,7 +108,10 @@ def save_checkpoint(ckpt_dir: str | Path, state, metadata: Dict[str, Any],
         import shutil
         shutil.rmtree(path)
     ckptr.save(path, payload)
-    if hasattr(ckptr, "wait_until_finished"):  # async checkpointers only
+    if async_write:
+        with _INFLIGHT_LOCK:
+            _INFLIGHT[str(path)] = ckptr
+    elif hasattr(ckptr, "wait_until_finished"):
         ckptr.wait_until_finished()
     import json
     (Path(ckpt_dir) / f"{name}.meta.json").write_text(
@@ -77,6 +123,7 @@ def restore_checkpoint(ckpt_dir: str | Path, state=None,
                        name: str = "model"):
     import json
     path = Path(ckpt_dir).resolve() / name
+    wait_for_saves(path)  # a just-issued async save must land first
     ckptr = _checkpointer()
     if state is not None:
         target = {

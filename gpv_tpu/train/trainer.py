@@ -78,6 +78,9 @@ class Trainer:
         self._barrier_timeout_min = float(
             dist_cfg.get("barrier_timeout_min", 720.0)
             if dist_cfg else 720.0)
+        # overlap checkpoint disk writes with training (orbax
+        # AsyncCheckpointer; the device->host fetch stays synchronous)
+        self._async_ckpt = bool(cfg.training.get("async_checkpoint", False))
 
         # vocab / tokenizer
         if cfg.model.vocab:
@@ -327,7 +330,8 @@ class Trainer:
                 "model_selection_metric":
                     results.get("model_selection_metric", 0.0)}
         meta.update(results)
-        save_checkpoint(self.cfg.ckpt_dir, self.state, meta)
+        save_checkpoint(self.cfg.ckpt_dir, self.state, meta,
+                        async_write=self._async_ckpt)
 
     # ------------------------------------------------------------------
 
@@ -422,7 +426,8 @@ class Trainer:
                         # none)
                         save_checkpoint(cfg.ckpt_dir, self.state,
                                         {"epoch": epoch, "step": self.step},
-                                        name="last")
+                                        name="last",
+                                        async_write=self._async_ckpt)
                     self._sync(f"gpv_ckpt_{self.step}")
 
         # final eval + save (rank 0; other hosts return empty results).
@@ -436,6 +441,8 @@ class Trainer:
         if (results["model_selection_metric"] > self.best_metric
                 or self.best_epoch < 0):
             self.save(num_epochs - 1, results)
+        from .checkpoint import wait_for_saves
+        wait_for_saves()  # async writes must land before the run returns
         self._sync("gpv_train_end")
         return results
 

@@ -73,8 +73,13 @@ class TestTrainerE2E:
         assert vis
 
     def test_resume_from_checkpoint(self, data_dir, tmp_path):
-        """Resume restores params/opt-state/step and continues training."""
-        cfg = tiny_cfg(data_dir, tmp_path)
+        """Resume restores params/opt-state/step and continues training.
+
+        The first run writes checkpoints ASYNC (training.async_checkpoint):
+        resume must still see complete payloads (restore joins the
+        in-flight write on that path)."""
+        cfg = tiny_cfg(data_dir, tmp_path,
+                       extra=("training.async_checkpoint=True",))
         from gpv_tpu.train.trainer import Trainer
         t1 = Trainer(cfg)
         t1.train()
