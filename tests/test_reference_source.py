@@ -119,7 +119,13 @@ def _install_stubs():
         hydra.main = main
 
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        # APPEND, not insert(0): the reference tree has top-level modules
+        # (inference.py, utils/, ...) that collide with this repo's; the
+        # parity tests only import reference-unique packages (exp.gpv.*,
+        # which pull reference utils.*), so lowest precedence suffices —
+        # prepending shadowed the repo's root `inference` module for every
+        # test collected after this file (full-suite-order failures).
+        sys.path.append(REF)
 
 
 _install_stubs()
