@@ -207,6 +207,14 @@ class Trainer:
 
         if cfg.training.get("ckpt"):
             self._resume(cfg.training.ckpt)
+        elif cfg.training.get("auto_resume") and \
+                (Path(cfg.ckpt_dir) / "last").exists():
+            # preemption recovery: a re-launched run picks up the rolling
+            # 'last' checkpoint (training.ckpt_step) without a manual path.
+            # The reference has no preemption story (SURVEY.md §5: recovery
+            # = manual restart with training.ckpt).
+            print(f"auto_resume: restoring {Path(cfg.ckpt_dir) / 'last'}")
+            self._resume(Path(cfg.ckpt_dir) / "last")
 
     # ------------------------------------------------------------------
 

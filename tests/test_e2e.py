@@ -98,6 +98,36 @@ class TestTrainerE2E:
         assert int(t2.state.step) == t1.step
         t2.train()  # continues from epoch last_epoch+1 without error
 
+    def test_auto_resume_picks_up_rolling_last(self, data_dir, tmp_path):
+        """training.auto_resume: a relaunched trainer restores ckpt_dir/last
+        (preemption recovery) without a manual training.ckpt path."""
+        cfg = tiny_cfg(data_dir, tmp_path,
+                       extra=("training.ckpt_step=2",))
+        from gpv_tpu.train.trainer import Trainer
+        t1 = Trainer(cfg)
+        t1.train()
+        last = Path(cfg.ckpt_dir) / "last"
+        assert last.exists()
+
+        import json
+        last_meta = json.loads(
+            (Path(cfg.ckpt_dir) / "last.meta.json").read_text())
+        assert 0 < int(last_meta["step"]) <= t1.step
+
+        cfg2 = tiny_cfg(data_dir, tmp_path,
+                        extra=("training.ckpt_step=2",
+                               "training.auto_resume=True"))
+        t2 = Trainer(cfg2)
+        # restores the ROLLING checkpoint's step (the last ckpt_step
+        # multiple), not necessarily the final in-memory step of t1
+        assert int(t2.state.step) == int(last_meta["step"])
+        assert t2.step == int(last_meta["step"])
+
+        # without the flag, a fresh trainer starts from scratch
+        t3 = Trainer(tiny_cfg(data_dir, tmp_path,
+                              extra=("training.ckpt_step=2",)))
+        assert int(t3.state.step) == 0
+
     def test_finetune_mode_refcocop(self, data_dir, tmp_path):
         """finetune_distr semantics: refcocop data, selection = refexp mAP,
         eval_every gating."""
