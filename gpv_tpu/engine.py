@@ -163,25 +163,29 @@ class GPVEngine:
         return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
 
     def _put_batch(self, arr):
-        a = jnp.asarray(np.asarray(arr))
+        # under a mesh, device_put straight from host numpy lands each
+        # shard on its owning device (jnp.asarray first would stage the
+        # whole batch on device 0 and pay a second device-to-device hop)
+        a = np.asarray(arr)
         return (jax.device_put(a, self._sh_batch)
-                if self.mesh is not None else a)
+                if self.mesh is not None else jnp.asarray(a))
 
     def _put_repl(self, arr):
         if arr is None:
             return None
-        a = jnp.asarray(np.asarray(arr))
+        a = np.asarray(arr)
         return (jax.device_put(a, self._sh_repl)
-                if self.mesh is not None else a)
+                if self.mesh is not None else jnp.asarray(a))
 
     def _prep(self, images_uint8: np.ndarray, queries: List[str]):
         # ship uint8 to device; the jitted core casts/normalizes there.
         # Under a mesh, the batch dim must divide the data axis: pad by
         # repetition, and return the pad so callers slice outputs.
-        pad = (-len(queries)) % self._dp
+        pad = (-len(queries)) % self._dp if queries else 0
         images = self._pad_rows(np.asarray(images_uint8), pad)
         qids, qvalid = self.tokenizer.batch_encode(
-            list(queries) + [queries[-1]] * pad, self.max_query_len)
+            list(queries) + ([queries[-1]] * pad if pad else []),
+            self.max_query_len)
         return (self._put_batch(images), self._put_batch(qids),
                 self._put_batch(qvalid), pad)
 

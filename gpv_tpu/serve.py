@@ -150,38 +150,48 @@ class GPVServer:
     def _worker(self):
         while not self._closed.is_set():
             items = self._collect()
-            if not items:
-                continue
-            n = len(items)
-            images = [it[0] for it in items]
-            queries = [it[1] for it in items]
-            mask = items[0][2]
-            # pad to the smallest bucket that fits (static XLA shapes) by
-            # repeating the last request — a lone request at low load runs
-            # the bucket-1 executable, not a full padded batch
-            target = next((b for b in self.buckets if b >= n),
-                          self.batch_size)
-            while len(images) < target:
-                images.append(images[-1])
-                queries.append(queries[-1])
-            try:
-                outs = self.engine.predict(np.stack(images), queries, mask)
-                done = time.monotonic()
-                with self._stats_lock:
-                    self._batches[target] = self._batches.get(target, 0) + 1
-                    self._occupied_rows += n
-                    self._padded_rows += target - n
-                    self._completed += n
-                    for it in items:
-                        self._latencies.append(done - it[4])
-                for (_, _, _, fut, _), out in zip(items, outs[:n]):
+            if items:
+                self._execute(items)
+
+    def _execute(self, items):
+        """Run one coalesced batch and resolve its futures."""
+        n = len(items)
+        images = [it[0] for it in items]
+        queries = [it[1] for it in items]
+        mask = items[0][2]
+        # pad to the smallest bucket that fits (static XLA shapes) by
+        # repeating the last request — a lone request at low load runs
+        # the bucket-1 executable, not a full padded batch
+        target = next((b for b in self.buckets if b >= n),
+                      self.batch_size)
+        while len(images) < target:
+            images.append(images[-1])
+            queries.append(queries[-1])
+        try:
+            outs = self.engine.predict(np.stack(images), queries, mask)
+            done = time.monotonic()
+            resolved = []
+            for (_, _, _, fut, t0), out in zip(items, outs[:n]):
+                # a client may have cancelled a queued future; never
+                # let that re-route a successful batch to the failure
+                # path (or double-count it in the stats)
+                if fut.set_running_or_notify_cancel():
                     fut.set_result(out)
-            except Exception as e:
-                with self._stats_lock:
-                    self._failed += n
-                for _, _, _, fut, _ in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    resolved.append(done - t0)
+            with self._stats_lock:
+                self._batches[target] = self._batches.get(target, 0) + 1
+                self._occupied_rows += n
+                self._padded_rows += target - n
+                self._completed += len(resolved)
+                self._latencies.extend(resolved)
+        except Exception as e:
+            failed = 0
+            for _, _, _, fut, _ in items:
+                if not fut.done() and fut.set_running_or_notify_cancel():
+                    fut.set_exception(e)
+                    failed += 1
+            with self._stats_lock:
+                self._failed += failed
 
     def stats(self) -> dict:
         """Snapshot of serving counters for monitoring/autoscaling.

@@ -52,17 +52,48 @@ def _checkpointer(async_write: bool = False):
     return ocp.StandardCheckpointer()
 
 
-# async saves in flight: path -> AsyncCheckpointer (joined before any new
-# save/restore touches the same path, and by trainer shutdown)
+# async saves in flight: final path -> (ckptr, tmp_path, final_path, meta).
+# Joined before any new save/restore touches the same path, and by trainer
+# shutdown. The write lands in tmp_path; the PREVIOUS checkpoint at
+# final_path stays intact until _finalize swaps the completed write in —
+# a preemption mid-write can never leave zero checkpoints on disk.
 _INFLIGHT: Dict[str, Any] = {}
 _INFLIGHT_LOCK = threading.Lock()
 
 
+def _finalize(entry):
+    """Join a checkpoint write, then atomically publish it.
+
+    Order matters: (1) wait for the payload to be fully on disk in the tmp
+    dir, (2) replace the old checkpoint with a rename (the only
+    no-checkpoint window is the instant between rmtree and rename),
+    (3) write meta.json LAST so metadata never describes an uncommitted
+    payload. The checkpointer is close()d regardless (orbax async
+    checkpointers own worker threads)."""
+    import json
+    import shutil
+    ckptr, tmp, path, metadata = entry
+    try:
+        if hasattr(ckptr, "wait_until_finished"):
+            ckptr.wait_until_finished()
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
+        (path.parent / f"{path.name}.meta.json").write_text(
+            json.dumps(metadata, default=float))
+    finally:
+        close = getattr(ckptr, "close", None)
+        if close is not None:
+            close()
+
+
 def wait_for_saves(path=None):
-    """Block until pending async checkpoint writes finish.
+    """Block until pending async checkpoint writes finish and publish.
 
     path=None joins ALL in-flight saves (trainer end / process exit);
-    otherwise only the save targeting that path.
+    otherwise only the save targeting that path. A failed write raises
+    here but never poisons later saves: the in-flight entry is dropped
+    regardless (the previous checkpoint at the final path survives).
     """
     with _INFLIGHT_LOCK:
         if path is None:
@@ -70,11 +101,13 @@ def wait_for_saves(path=None):
         else:
             key = str(Path(path).resolve())
             pending = [(key, _INFLIGHT[key])] if key in _INFLIGHT else []
-    for key, ckptr in pending:
-        ckptr.wait_until_finished()
-        with _INFLIGHT_LOCK:
-            if _INFLIGHT.get(key) is ckptr:
-                del _INFLIGHT[key]
+    for key, entry in pending:
+        try:
+            _finalize(entry)
+        finally:
+            with _INFLIGHT_LOCK:
+                if _INFLIGHT.get(key) is entry:
+                    del _INFLIGHT[key]
 
 
 def _host_value(x):
@@ -88,12 +121,15 @@ def save_checkpoint(ckpt_dir: str | Path, state, metadata: Dict[str, Any],
                     name: str = "model", async_write: bool = False) -> Path:
     """Write state+metadata under ckpt_dir/name.
 
-    async_write=True returns once the host-resident payload is handed to
-    orbax's writer thread (the device->host fetch below is synchronous
-    either way — the next train step may donate these buffers). Orbax
-    writes atomically (tmp dir + rename), so a crash mid-write leaves the
-    previous checkpoint intact, same as the sync path. Join with
-    `wait_for_saves()`.
+    The payload lands in a sibling tmp dir first; the previous checkpoint
+    at ckpt_dir/name is replaced only once the write is complete
+    (`_finalize`), and meta.json is written after the payload commits —
+    a crash/preemption mid-write always leaves the previous checkpoint
+    loadable. async_write=True returns once the host-resident payload is
+    handed to orbax's writer thread (the device->host fetch below is
+    synchronous either way — the next train step may donate these
+    buffers); the swap happens at `wait_for_saves()` / the next IO on
+    this path.
     """
     path = Path(ckpt_dir).resolve() / name
     wait_for_saves(path)  # never two writers on one path
@@ -104,18 +140,17 @@ def save_checkpoint(ckpt_dir: str | Path, state, metadata: Dict[str, Any],
         "opt_state": jax.tree.map(_host_value, state.opt_state),
         "step": int(_host_value(state.step)),
     }
-    if path.exists():
+    tmp = path.with_name(f".{name}.writing")
+    if tmp.exists():  # stale tmp from a preempted earlier run
         import shutil
-        shutil.rmtree(path)
-    ckptr.save(path, payload)
+        shutil.rmtree(tmp)
+    ckptr.save(tmp, payload)
+    entry = (ckptr, tmp, path, dict(metadata))
     if async_write:
         with _INFLIGHT_LOCK:
-            _INFLIGHT[str(path)] = ckptr
-    elif hasattr(ckptr, "wait_until_finished"):
-        ckptr.wait_until_finished()
-    import json
-    (Path(ckpt_dir) / f"{name}.meta.json").write_text(
-        json.dumps(metadata, default=float))
+            _INFLIGHT[str(path)] = entry
+    else:
+        _finalize(entry)
     return path
 
 

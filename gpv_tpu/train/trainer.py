@@ -215,6 +215,16 @@ class Trainer:
             # = manual restart with training.ckpt).
             print(f"auto_resume: restoring {Path(cfg.ckpt_dir) / 'last'}")
             self._resume(Path(cfg.ckpt_dir) / "last")
+            # the rolling ckpt's meta has no selection metric; without this
+            # the next eval (metric > 0.0) would OVERWRITE the best 'model'
+            # checkpoint with a worse model
+            best_meta = Path(cfg.ckpt_dir) / "model.meta.json"
+            if best_meta.exists():
+                import json
+                m = json.loads(best_meta.read_text())
+                self.best_metric = float(
+                    m.get("model_selection_metric", self.best_metric))
+                self.best_epoch = int(m.get("epoch", self.best_epoch))
 
     # ------------------------------------------------------------------
 

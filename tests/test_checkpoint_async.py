@@ -53,6 +53,53 @@ class TestAsyncCheckpoint:
                                       s2.params["layer"]["kernel"])
         assert meta["epoch"] == 2
 
+    def test_previous_checkpoint_survives_failed_write(self, tmp_path):
+        """The old checkpoint must stay loadable when a later write never
+        completes (preemption mid-write): the new payload lands in a tmp
+        dir and only swaps in at finalize."""
+        from gpv_tpu.train import checkpoint as ckpt_mod
+
+        s1 = _state(7)
+        save_checkpoint(tmp_path, s1, {"epoch": 1})  # sync, committed
+
+        class _DeadCkptr:
+            def wait_until_finished(self):
+                raise IOError("disk full")
+
+            def close(self):
+                pass
+
+        # simulate an async write whose background flush fails
+        path = (tmp_path / "model").resolve()
+        entry = (_DeadCkptr(), path.with_name(".model.writing"), path,
+                 {"epoch": 2})
+        with ckpt_mod._INFLIGHT_LOCK:
+            ckpt_mod._INFLIGHT[str(path)] = entry
+        import pytest as _pytest
+        with _pytest.raises(IOError):
+            wait_for_saves()
+        # the failed entry is dropped (no poisoning of later saves) and
+        # the previous checkpoint is untouched
+        with ckpt_mod._INFLIGHT_LOCK:
+            assert not ckpt_mod._INFLIGHT
+        payload, meta = restore_checkpoint(tmp_path)
+        assert meta["epoch"] == 1
+        np.testing.assert_array_equal(payload["params"]["layer"]["kernel"],
+                                      s1.params["layer"]["kernel"])
+
+    def test_meta_never_describes_uncommitted_payload(self, tmp_path):
+        """meta.json is written AFTER the payload swap: a stale tmp dir
+        from a preempted run never leaves meta pointing at missing data."""
+        s1 = _state(8)
+        tmp = tmp_path / ".model.writing"
+        tmp.mkdir()  # stale junk from a "preempted" earlier run
+        (tmp / "garbage").write_text("x")
+        save_checkpoint(tmp_path, s1, {"epoch": 5})
+        assert not tmp.exists()  # stale tmp cleaned, write landed
+        payload, meta = restore_checkpoint(tmp_path)
+        assert meta["epoch"] == 5
+        assert payload["step"] == 80
+
     def test_distinct_names_write_concurrently(self, tmp_path):
         """best ('model') and rolling ('last') saves may be in flight at
         once — different paths don't serialize against each other."""

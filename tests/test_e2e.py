@@ -122,6 +122,12 @@ class TestTrainerE2E:
         # multiple), not necessarily the final in-memory step of t1
         assert int(t2.state.step) == int(last_meta["step"])
         assert t2.step == int(last_meta["step"])
+        # best-metric state recovers from model.meta.json — otherwise the
+        # next eval would overwrite the best checkpoint with a worse model
+        best_meta = json.loads(
+            (Path(cfg.ckpt_dir) / "model.meta.json").read_text())
+        assert t2.best_metric == pytest.approx(
+            best_meta["model_selection_metric"])
 
         # without the flag, a fresh trainer starts from scratch
         t3 = Trainer(tiny_cfg(data_dir, tmp_path,

@@ -66,6 +66,35 @@ class TestServer:
         assert s["latency_ms"]["n"] == 7
         assert s["latency_ms"]["p50"] <= s["latency_ms"]["p99"]
 
+    def test_cancelled_future_does_not_fail_or_double_count_batch(
+            self, engine):
+        """A client-cancelled queued future must not re-route a successful
+        batch to the failure path or corrupt the stats (review finding:
+        set_result on a cancelled future raises InvalidStateError)."""
+        from concurrent.futures import Future
+        import time as _time
+
+        server = GPVServer(engine, batch_size=2, max_wait_ms=1,
+                           num_workers=1)
+        try:
+            rng = np.random.RandomState(9)
+            img = rng.randint(0, 255, (48, 64, 3), np.uint8)
+            # drive the worker body directly with a deterministic
+            # pre-cancelled item (no queue timing races)
+            f_ok, f_cancel = Future(), Future()
+            f_cancel.cancel()
+            t0 = _time.monotonic()
+            server._execute([(img, "keep me", None, f_ok, t0),
+                             (img, "cancelled", None, f_cancel, t0)])
+            assert f_ok.result(timeout=60)["answer"] is not None
+            assert f_cancel.cancelled()
+            s = server.stats()
+            assert s["failed"] == 0
+            assert s["completed"] == 1  # only the uncancelled row
+            assert sum(s["batches_per_bucket"].values()) == 1
+        finally:
+            server.close()
+
     def test_concurrent_distinct_vocab_masks_are_isolated(self, engine):
         """Two mask populations in flight: each request must be decoded
         under ITS OWN mask (regression: r1 applied items[0]'s mask to the
