@@ -67,6 +67,7 @@ class GPVServer:
         self._padded_rows = 0
         self._latencies: deque = deque(maxlen=1000)
         self._closed = threading.Event()
+        self._closing = threading.Event()  # reject submits while draining
         self._workers = [
             threading.Thread(target=self._worker, daemon=True)
             for _ in range(max(1, num_workers))]
@@ -76,7 +77,7 @@ class GPVServer:
     def submit(self, image_uint8: np.ndarray, query: str,
                vocab_mask: Optional[np.ndarray] = None) -> Future:
         """Enqueue one request; resolves to {answer, boxes, relevance}."""
-        if self._closed.is_set():
+        if self._closed.is_set() or self._closing.is_set():
             raise RuntimeError("server closed")
         fut: Future = Future()
         with self._stats_lock:
@@ -224,7 +225,35 @@ class GPVServer:
             out["latency_ms"] = None
         return out
 
-    def close(self):
+    def close(self, drain: bool = True, timeout: float = 120.0):
+        """Shut the server down without stranding clients.
+
+        drain=True (default) stops accepting new requests, serves
+        everything already queued, then stops the workers. drain=False
+        stops immediately. Either way, any request still unresolved after
+        shutdown has its future CANCELLED — a client blocked in
+        `future.result()` gets CancelledError instead of hanging forever
+        (previously queued-but-unserved futures never resolved).
+        """
+        if self._closed.is_set():
+            return
+        self._closing.set()
+        if drain:
+            deadline = time.monotonic() + timeout
+            while (not self._q.empty() or self._pending) and \
+                    time.monotonic() < deadline:
+                time.sleep(0.01)
         self._closed.set()
         for w in self._workers:
-            w.join(timeout=1.0)
+            w.join(timeout=max(1.0, timeout / 4))
+        # cancel anything the workers never picked up (or, without drain,
+        # whatever was left in flight)
+        leftovers = list(self._pending)
+        self._pending.clear()
+        while True:
+            try:
+                leftovers.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        for _, _, _, fut, _ in leftovers:
+            fut.cancel()

@@ -131,6 +131,45 @@ class TestServer:
         with pytest.raises(RuntimeError):
             server.submit(np.zeros((48, 64, 3), np.uint8), "q")
 
+    def test_close_drains_queued_requests(self, engine):
+        """close(drain=True) serves everything already queued — no client
+        blocked in future.result() is stranded."""
+        rng = np.random.RandomState(11)
+        server = GPVServer(engine, batch_size=2, max_wait_ms=5,
+                           num_workers=1)
+        futs = [server.submit(rng.randint(0, 255, (48, 64, 3), np.uint8),
+                              f"drain {i}") for i in range(5)]
+        server.close()  # immediately; queue likely non-empty
+        for f in futs:
+            assert f.done()
+            if not f.cancelled():  # drained requests resolve with results
+                assert f.result(timeout=1)["answer"] is not None
+        # with drain, nothing should actually be cancelled
+        assert all(not f.cancelled() for f in futs)
+
+    def test_close_without_drain_cancels_unserved(self, engine):
+        """close(drain=False): whatever the workers never picked up is
+        CANCELLED rather than left pending forever."""
+        from concurrent.futures import CancelledError
+        rng = np.random.RandomState(12)
+        # no workers can run: occupy the only worker with a long wait by
+        # closing before it can coalesce (max_wait large, many requests)
+        server = GPVServer(engine, batch_size=4, max_wait_ms=2000,
+                           num_workers=1)
+        futs = [server.submit(rng.randint(0, 255, (48, 64, 3), np.uint8),
+                              f"cancel {i}") for i in range(8)]
+        server.close(drain=False)
+        resolved = cancelled = 0
+        for f in futs:
+            assert f.done()
+            try:
+                f.result(timeout=1)
+                resolved += 1
+            except CancelledError:
+                cancelled += 1
+        assert resolved + cancelled == 8
+        assert cancelled >= 1  # the never-picked-up tail was cancelled
+
 
 class TestCollectScheduling:
     """Deterministic tests of the batch-collection policy (no engine)."""
