@@ -130,6 +130,13 @@ def main():
                    "submitter_max_lag_ms": round(1000 * lag, 1)}
             rows.append(row)
             print(json.dumps(row), flush=True)
+        # server-side view of the same run: occupancy (pad waste) and
+        # per-bucket batch mix (GPVServer.stats)
+        s = server.stats()
+        print(json.dumps({"batch": B, "server_stats": {
+            "batch_occupancy": s["batch_occupancy"],
+            "batches_per_bucket": s["batches_per_bucket"],
+            "mask_deferrals": s["mask_deferrals"]}}), flush=True)
         server.close()
 
     print("\n| B | util | offered req/s | p50 ms | p90 ms | p99 ms |")

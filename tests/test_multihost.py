@@ -7,6 +7,7 @@ The reference is single-node only (num_nodes: 1); this validates the
 framework's beyond-reference multi-host path: `initialize_distributed` +
 process-sharded loader + `shard_batch`'s process-local assembly.
 """
+import os
 import re
 import subprocess
 import sys
@@ -23,7 +24,10 @@ class TestMultiHostTrainStep:
     def test_two_process_step_matches_single_process(self):
         """Both processes compute the SAME finite loss, equal to the
         single-process 8-device mesh result on the identical batch."""
-        port = 12391
+        # PID-derived port: a stale coordinator from a killed earlier run
+        # must not collide; 1800 s bounds survive a contended 1-vCPU box
+        # (two worker processes + pytest share one core)
+        port = 12391 + (os.getpid() % 499) * 2
         procs = [subprocess.Popen(
             [sys.executable, str(REPO / "tests/_mh_worker.py"), str(i),
              str(port)],
@@ -31,7 +35,7 @@ class TestMultiHostTrainStep:
             for i in range(2)]
         outs = []
         for p in procs:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1800)
             outs.append(out)
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
@@ -96,7 +100,7 @@ class TestMultiHostTrainer:
         replica first)."""
         from _fake_data import make_fake_data
         make_fake_data(tmp_path / "data")
-        port = 12395
+        port = 12392 + (os.getpid() % 499) * 2
         procs = [subprocess.Popen(
             [sys.executable, str(REPO / "tests/_mh_trainer_worker.py"),
              str(i), str(port), str(tmp_path)],
@@ -105,7 +109,7 @@ class TestMultiHostTrainer:
         outs = []
         for p in procs:
             try:
-                out, _ = p.communicate(timeout=1500)
+                out, _ = p.communicate(timeout=1800)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
