@@ -95,6 +95,40 @@ class TestHttpFrontend:
             urllib.request.urlopen(base + "/nope", timeout=30)
         assert ei.value.code == 404
 
+    def test_python_client_roundtrip(self, http_stack, engine):  # noqa: F811
+        """GPVClient (stdlib HTTP client) round-trips ndarray, bytes, and
+        path inputs and matches the direct engine."""
+        from gpv_tpu.client import GPVClient
+        base, mask = http_stack
+        client = GPVClient(base)
+        assert client.healthy()
+
+        rng = np.random.RandomState(21)
+        img = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        ref = engine.predict(img[None], ["client test"])[0]
+        out = client.predict(img, "client test")
+        assert out["answer"] == ref["answer"]
+        np.testing.assert_allclose(out["boxes"], ref["boxes"], atol=1e-3)
+
+        # bytes + path inputs give identical answers (same PNG content)
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "PNG")
+        assert client.predict(buf.getvalue(),
+                              "client test")["answer"] == ref["answer"]
+
+        # task routing applies the server-side mask: equals a direct
+        # masked predict
+        masked = client.predict(img, "client test", task="classification")
+        mref = engine.predict(img[None], ["client test"], mask)[0]
+        assert masked["answer"] == mref["answer"]
+        # server error surfaces as a RuntimeError with the message
+        with pytest.raises(RuntimeError, match="unknown task"):
+            client.predict(img, "q", task="nope")
+
+        s = client.stats()
+        assert s["completed"] >= 3
+
     def test_stats_endpoint(self, http_stack):
         """GET /stats reflects served traffic (runs after the predict
         tests in this class, so counters must be non-zero)."""
