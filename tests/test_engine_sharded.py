@@ -91,6 +91,7 @@ class TestShardedPredict:
         for r, g in zip(ref, got):
             assert g["answer"] == r["answer"]
 
+    @pytest.mark.slow  # extra beam executable compile
     def test_beam_matches_single_device(self, engines):
         single, sharded = engines
         imgs = _imgs(3, seed=4)
@@ -103,6 +104,7 @@ class TestShardedPredict:
             np.testing.assert_allclose(g["answer_probs"],
                                        r["answer_probs"], atol=1e-5)
 
+    @pytest.mark.slow  # two native-shape buckets = two extra compiles
     def test_native_resolution_buckets_pad_per_group(self, engines):
         single, sharded = engines
         rng = np.random.RandomState(5)
@@ -137,6 +139,7 @@ class TestMeshValidation:
                       AnswerVocab.debug(size=VOCAB),
                       WordPieceTokenizer.debug(), mesh=_M())
 
+    @pytest.mark.slow  # full build_engine (model init) at tiny dims
     def test_build_engine_knob(self):
         """tpu.infer_data_parallel=-1 builds a mesh over all devices."""
         from _fake_data import TINY_OVERRIDES
