@@ -47,8 +47,13 @@ def build_engine(cfg):
                 "local devices are visible")
         if n_dp > 1:
             mesh = jax.sharding.Mesh(np.asarray(devs[:n_dp]), ("dp",))
+    # tpu.dtype governs the compute dtype here exactly as in the trainer
+    # (bfloat16 default; float32 for maximum-parity eval)
+    dtype = (jnp.bfloat16
+             if str((cfg.get("tpu") or {}).get("dtype", "bfloat16"))
+             == "bfloat16" else jnp.float32)
     engine = GPVEngine.from_config(cfg.model, vocab, tokenizer,
-                                   dtype=jnp.bfloat16, mesh=mesh)
+                                   dtype=dtype, mesh=mesh)
 
     ckpt = cfg.get("ckpt")
     if ckpt:

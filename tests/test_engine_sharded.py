@@ -141,16 +141,23 @@ class TestMeshValidation:
 
     @pytest.mark.slow  # full build_engine (model init) at tiny dims
     def test_build_engine_knob(self):
-        """tpu.infer_data_parallel=-1 builds a mesh over all devices."""
+        """tpu.infer_data_parallel=-1 builds a mesh over all devices, and
+        tpu.dtype is honored (not silently ignored) by the engine build."""
+        import jax.numpy as jnp
         from _fake_data import TINY_OVERRIDES
         from inference import build_engine
         from gpv_tpu.utils.config import load_config
+        # overrides AFTER TINY_OVERRIDES (which itself sets
+        # tpu.dtype=float32 — last one wins); bfloat16 here proves the
+        # knob actually flows into the build
         cfg = load_config("configs", "exp/gpv_inference",
-                          ["ckpt=null", "tpu.infer_data_parallel=-1"]
-                          + TINY_OVERRIDES)
+                          ["ckpt=null"] + TINY_OVERRIDES
+                          + ["tpu.infer_data_parallel=-1",
+                             "tpu.dtype=bfloat16"])
         eng = build_engine(cfg)
         assert eng.mesh is not None
         assert eng._dp == len(jax.devices())
+        assert eng.model.dtype == jnp.bfloat16
 
     def test_export_rejects_mesh_engine(self, engines, tmp_path):
         from gpv_tpu.export import export_engine
