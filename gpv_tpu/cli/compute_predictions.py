@@ -44,7 +44,8 @@ def main(argv=None):
         predictions, boxes_path, _ = make_predictions(
             engine, dataset, task, int(cfg.eval.batch_size), eval_dir,
             subset, data_split, cfg.eval.get("num_eval_batches"),
-            beam_size=int(beam_size) if beam_size else None)
+            beam_size=int(beam_size) if beam_size else None,
+            num_workers=int(cfg.eval.get("num_workers", 8)))
     else:
         # re-evaluate previously written predictions (reference
         # compute_predictions honors eval.predict=False the same way)

@@ -34,13 +34,17 @@ def main(argv=None):
         ds = CocoVqaTestOriginalSplit(cfg.task_configs.coco_vqa, subset)
         out = out_dir / f"vqa_{subset}_predictions.json"
         compute_vqa_test_predictions(engine, ds, int(cfg.eval.batch_size),
-                                     out)
+                                     out,
+                                     num_workers=int(
+                                         cfg.eval.get("num_workers", 8)))
     else:
         ds = CocoCapTestOriginalSplit(cfg.task_configs.coco_captioning,
                                       subset)
         out = out_dir / f"cap_{subset}_predictions.json"
         compute_cap_test_predictions(engine, ds, int(cfg.eval.batch_size),
-                                     out)
+                                     out,
+                                     num_workers=int(
+                                         cfg.eval.get("num_workers", 8)))
     print(f"wrote {out}")
 
 

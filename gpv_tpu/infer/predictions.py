@@ -31,24 +31,57 @@ def coco_vocab_mask(vocab, use_syns: bool = False) -> np.ndarray:
 
 
 def iter_padded_batches(dataset, batch_size: int, max_samples=None,
-                        rng=None):
+                        num_workers: int = 0, prefetch: int = 2):
     """Yield (items, n_real) with len(items) == batch_size for EVERY batch.
 
     The final partial batch is padded by repeating its last item — the same
     policy as `serve.py` — so one compiled executable serves the whole
     dataset regardless of divisibility (a trailing odd-size batch would
-    otherwise trigger a second XLA compile per task)."""
-    if rng is None:
-        rng = np.random.RandomState(0)
+    otherwise trigger a second XLA compile per task).
+
+    num_workers > 1 loads items on a thread pool with a `prefetch`-batch
+    lookahead, overlapping host image decode/resize (PIL releases the GIL)
+    with device compute — single-threaded PIL decode alone caps eval at a
+    few hundred img/s, below the device rate (reference eval uses a
+    num_workers dataloader, train_distr.py:213-222; this is the eval-side
+    `eval.num_workers`). Each item draws from its own index-seeded
+    RandomState, so results are identical for ANY worker count/order
+    (eval-mode datasets don't consume the rng anyway — transforms are
+    resize-only and VQA answer resampling is training-only).
+    """
     n = len(dataset) if max_samples is None else min(len(dataset),
                                                      max_samples)
-    for start in range(0, n, batch_size):
-        items = [dataset.get(i, rng)
-                 for i in range(start, min(start + batch_size, n))]
+    starts = list(range(0, n, batch_size))
+
+    def load_item(i):
+        return dataset.get(i, np.random.RandomState(i))
+
+    def pad(items):
         n_real = len(items)
         while len(items) < batch_size:
             items.append(items[-1])
-        yield items, n_real
+        return items, n_real
+
+    if num_workers and int(num_workers) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(int(num_workers)) as pool:
+            depth = max(1, int(prefetch))
+            pending = [
+                [pool.submit(load_item, i)
+                 for i in range(s, min(s + batch_size, n))]
+                for s in starts[:depth]]
+            for bi in range(len(starts)):
+                futs = pending.pop(0)
+                if bi + depth < len(starts):
+                    s = starts[bi + depth]
+                    pending.append(
+                        [pool.submit(load_item, i)
+                         for i in range(s, min(s + batch_size, n))])
+                yield pad([f.result() for f in futs])
+    else:
+        for start in starts:
+            yield pad([load_item(i)
+                       for i in range(start, min(start + batch_size, n))])
 
 
 def update_samples_with_image_size(image_dir, samples):
@@ -66,12 +99,15 @@ def make_predictions(engine: GPVEngine, dataset, task: str,
                      batch_size: int, eval_dir: str | Path, subset: str,
                      data_split: str = "gpv_split",
                      num_eval_batches: Optional[int] = None,
-                     beam_size: Optional[int] = None):
+                     beam_size: Optional[int] = None,
+                     num_workers: int = 0):
     """Run batched inference over a dataset; write HDF5 + JSON.
 
     `beam_size`: None/1 -> greedy (reference compute_predictions); K>1 ->
     batched beam search, keeping the top beam as the answer (BASELINE
     config #4: VQA/captioning with beam_size=5).
+    `num_workers`: threaded image loading with batch lookahead
+    (eval.num_workers; see iter_padded_batches).
 
     Returns (predictions dict, boxes path, predictions path).
     """
@@ -90,7 +126,8 @@ def make_predictions(engine: GPVEngine, dataset, task: str,
     predictions = {}
     cnt = 0
     for bi, (items, n_real) in enumerate(
-            iter_padded_batches(dataset, batch_size)):
+            iter_padded_batches(dataset, batch_size,
+                                num_workers=num_workers)):
         if num_eval_batches is not None and bi >= num_eval_batches:
             break
         images = np.stack([it["image"] for it in items])
@@ -152,11 +189,12 @@ def evaluate_predictions(task: str, samples, predictions, boxes_path,
 
 
 def compute_vqa_test_predictions(engine, dataset, batch_size,
-                                 out_path) -> list:
+                                 out_path, num_workers: int = 0) -> list:
     """Eval-server format: [{'question_id', 'answer'}] (reference
     compute_vqa_test_predictions.py:29-67)."""
     results = []
-    for items, n_real in iter_padded_batches(dataset, batch_size):
+    for items, n_real in iter_padded_batches(dataset, batch_size,
+                                             num_workers=num_workers):
         images = np.stack([it["image"] for it in items])
         outs = engine.predict(images, [it["query"] for it in items])
         for it, out in zip(items[:n_real], outs[:n_real]):
@@ -167,11 +205,12 @@ def compute_vqa_test_predictions(engine, dataset, batch_size,
 
 
 def compute_cap_test_predictions(engine, dataset, batch_size,
-                                 out_path) -> list:
+                                 out_path, num_workers: int = 0) -> list:
     """Eval-server format: [{'image_id', 'caption'}] (reference
     compute_cap_test_predictions.py:85-113)."""
     results = []
-    for items, n_real in iter_padded_batches(dataset, batch_size):
+    for items, n_real in iter_padded_batches(dataset, batch_size,
+                                             num_workers=num_workers):
         images = np.stack([it["image"] for it in items])
         outs = engine.predict(images, [it["query"] for it in items])
         for it, out in zip(items[:n_real], outs[:n_real]):

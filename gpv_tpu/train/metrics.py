@@ -22,10 +22,11 @@ from ..infer.predictions import coco_vocab_mask, iter_padded_batches
 
 
 def vqa_accuracy(engine: GPVEngine, dataset, batch_size: int,
-                 max_samples: int) -> float:
+                 max_samples: int, num_workers: int = 0) -> float:
     correct = total = 0
     for items, n_real in iter_padded_batches(dataset, batch_size,
-                                              max_samples):
+                                              max_samples,
+                                              num_workers=num_workers):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items])
         for it, out in zip(items[:n_real], outs[:n_real]):
@@ -37,12 +38,13 @@ def vqa_accuracy(engine: GPVEngine, dataset, batch_size: int,
 
 
 def cls_metrics(engine: GPVEngine, dataset, batch_size: int,
-                max_samples: int) -> Dict:
+                max_samples: int, num_workers: int = 0) -> Dict:
     syn = coco_synonyms()
     mask = coco_vocab_mask(engine.vocab, use_syns=True)
     correct = total = 0
     for items, n_real in iter_padded_batches(dataset, batch_size,
-                                              max_samples):
+                                              max_samples,
+                                              num_workers=num_workers):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items], mask)
         for it, out in zip(items[:n_real], outs[:n_real]):
@@ -55,11 +57,12 @@ def cls_metrics(engine: GPVEngine, dataset, batch_size: int,
 
 
 def cap_metrics(engine: GPVEngine, dataset, batch_size: int,
-                max_samples: int) -> Dict:
+                max_samples: int, num_workers: int = 0) -> Dict:
     predictions = {}
     used_samples = []
     for items, n_real in iter_padded_batches(dataset, batch_size,
-                                              max_samples):
+                                              max_samples,
+                                              num_workers=num_workers):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items])
         for it, out in zip(items[:n_real], outs[:n_real]):
@@ -73,12 +76,13 @@ def cap_metrics(engine: GPVEngine, dataset, batch_size: int,
 
 
 def _box_map(engine: GPVEngine, dataset, batch_size: int,
-             max_samples: int) -> float:
+             max_samples: int, num_workers: int = 0) -> float:
     """Shared det/refexp subsampled mAP (reference det_metrics/
     refexp_metrics write temp HDF5; we keep boxes in memory)."""
     aps = []
     for items, n_real in iter_padded_batches(dataset, batch_size,
-                                              max_samples):
+                                              max_samples,
+                                              num_workers=num_workers):
         outs = engine.predict(np.stack([it["image"] for it in items]),
                               [it["query"] for it in items])
         for it, out in zip(items[:n_real], outs[:n_real]):
@@ -96,9 +100,13 @@ def _box_map(engine: GPVEngine, dataset, batch_size: int,
     return float(np.mean(aps)) if aps else 0.0
 
 
-def det_metrics(engine, dataset, batch_size, max_samples) -> Dict:
-    return {"mAP": _box_map(engine, dataset, batch_size, max_samples)}
+def det_metrics(engine, dataset, batch_size, max_samples,
+                num_workers: int = 0) -> Dict:
+    return {"mAP": _box_map(engine, dataset, batch_size, max_samples,
+                            num_workers)}
 
 
-def refexp_metrics(engine, dataset, batch_size, max_samples) -> Dict:
-    return {"mAP": _box_map(engine, dataset, batch_size, max_samples)}
+def refexp_metrics(engine, dataset, batch_size, max_samples,
+                   num_workers: int = 0) -> Dict:
+    return {"mAP": _box_map(engine, dataset, batch_size, max_samples,
+                            num_workers)}

@@ -168,7 +168,8 @@ class Trainer:
             self.model, self.optimizer, LossConfig.from_config(cfg.losses),
             float(cfg.training.clip_max_norm), mesh=self.mesh,
             grad_accum=int(cfg.training.get("grad_accum_steps", 1)),
-            freeze_detr=freeze, frozen_detr_paths=matched_detr)
+            freeze_detr=freeze, frozen_detr_paths=matched_detr,
+            donate=bool(cfg.tpu.get("donate_buffers", True)))
 
         # in-train eval engine. tpu.infer_data_parallel shards eval batches
         # over N local devices (-1 = all) so a slice doesn't idle 7/8 chips
@@ -281,6 +282,7 @@ class Trainer:
         self.engine.variables = self._eval_variables()
         nvs = cfg.training.num_val_samples
         eval_bs = int(cfg.eval.batch_size)
+        nw = int(cfg.eval.get("num_workers", 8))
         results: Dict[str, float] = {}
         selection = 0.0
         ds = CocoMultitaskDataset(cfg.learning_datasets, cfg.task_configs,
@@ -288,29 +290,33 @@ class Trainer:
         for name, sub in zip(ds.names, ds.datasets):
             if name == "CocoVqa":
                 acc = train_metrics.vqa_accuracy(
-                    self.engine, sub, eval_bs, int(nvs.get("coco_vqa", 1000)))
+                    self.engine, sub, eval_bs, int(nvs.get("coco_vqa", 1000)),
+                    num_workers=nw)
                 results["vqa_acc"] = acc
                 selection += acc
             elif name == "CocoCaptioning":
                 scores = train_metrics.cap_metrics(
-                    self.engine, sub, eval_bs, int(nvs.get("coco_cap", 1000)))
+                    self.engine, sub, eval_bs, int(nvs.get("coco_cap", 1000)),
+                    num_workers=nw)
                 results["cider"] = float(scores.get("Cider", 0.0))
                 results["bleu4"] = float(scores.get("Bleu4", 0.0))
                 selection += results["cider"]
             elif name == "CocoClassification":
                 m = train_metrics.cls_metrics(
-                    self.engine, sub, eval_bs, int(nvs.get("coco_cls", 1000)))
+                    self.engine, sub, eval_bs, int(nvs.get("coco_cls", 1000)),
+                    num_workers=nw)
                 results["cls_acc"] = m["accuracy"]
                 selection += m["accuracy"]
             elif name == "CocoDetection":
                 m = train_metrics.det_metrics(
-                    self.engine, sub, eval_bs, int(nvs.get("coco_det", 1000)))
+                    self.engine, sub, eval_bs, int(nvs.get("coco_det", 1000)),
+                    num_workers=nw)
                 results["det_map"] = m["mAP"]
                 selection += m["mAP"]
             elif name == "RefCocop":
                 m = train_metrics.refexp_metrics(
                     self.engine, sub, eval_bs,
-                    int(nvs.get("refcocop", 1000)))
+                    int(nvs.get("refcocop", 1000)), num_workers=nw)
                 results["refexp_map"] = m["mAP"]
                 selection += m["mAP"]
         if self.finetune:

@@ -163,3 +163,49 @@ class TestDetectionAP:
         m = CocoDetection(samples, preds, boxes)
         out = m.evaluate()
         assert abs(out["mAP"] - 1.0) < 1e-6
+
+
+class TestPaddedBatchIterator:
+    """iter_padded_batches: padding policy + threaded-loader determinism."""
+
+    class _FakeDataset:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def get(self, i, rng):
+            return {"idx": i, "draw": float(rng.rand())}
+
+    def test_threaded_equals_sequential(self):
+        from gpv_tpu.infer.predictions import iter_padded_batches
+        ds = self._FakeDataset(13)
+        seq = [([it["idx"] for it in items], n)
+               for items, n in iter_padded_batches(ds, 4)]
+        thr = [([it["idx"] for it in items], n)
+               for items, n in iter_padded_batches(ds, 4, num_workers=4)]
+        assert seq == thr
+        # per-item index-seeded rng: identical draws under any worker count
+        seq_d = [it["draw"] for items, _ in iter_padded_batches(ds, 4)
+                 for it in items]
+        thr_d = [it["draw"]
+                 for items, _ in iter_padded_batches(ds, 4, num_workers=4)
+                 for it in items]
+        assert seq_d == thr_d
+
+    def test_final_batch_pads_by_repetition(self):
+        from gpv_tpu.infer.predictions import iter_padded_batches
+        ds = self._FakeDataset(5)
+        batches = list(iter_padded_batches(ds, 4, num_workers=2))
+        assert len(batches) == 2
+        items, n_real = batches[1]
+        assert n_real == 1
+        assert [it["idx"] for it in items] == [4, 4, 4, 4]
+
+    def test_max_samples_cap(self):
+        from gpv_tpu.infer.predictions import iter_padded_batches
+        ds = self._FakeDataset(50)
+        batches = list(iter_padded_batches(ds, 4, max_samples=6,
+                                           num_workers=3))
+        assert sum(n for _, n in batches) == 6
