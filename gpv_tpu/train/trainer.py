@@ -107,6 +107,12 @@ class Trainer:
             max_target_boxes=int(cfg.model.get("max_target_boxes", 64)),
             answering_type=str(cfg.model.answering_type))
         batch_size = int(cfg.training.batch_size)
+        if cfg.training.get("freeze", False):
+            # frozen phase trains at its own global batch (reference
+            # train_distr.py:485-486 overwrites batch_size with
+            # frozen_batch_size when freeze=True)
+            batch_size = int(cfg.training.get("frozen_batch_size",
+                                              batch_size))
         self.loaders = {
             s: DataLoader(d, self.collator, batch_size,
                           shuffle=(s == "train"),

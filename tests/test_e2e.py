@@ -134,6 +134,21 @@ class TestTrainerE2E:
                               extra=("training.ckpt_step=2",)))
         assert int(t3.state.step) == 0
 
+    def test_frozen_phase_uses_frozen_batch_size(self, data_dir, tmp_path):
+        """freeze=True trains at training.frozen_batch_size (reference
+        train_distr.py:485-486 overwrites batch_size in the frozen
+        phase)."""
+        cfg = tiny_cfg(data_dir, tmp_path,
+                       extra=("training.freeze=True",
+                              "training.frozen_batch_size=4",
+                              "training.frozen_epochs=1",
+                              "exp_name=frozen_bs"))
+        from gpv_tpu.train.trainer import Trainer
+        with pytest.warns(RuntimeWarning):  # freeze without pretr_detr
+            trainer = Trainer(cfg)
+        assert trainer.loaders["train"].batch_size == 4
+        assert trainer.loaders["val"].batch_size == 4
+
     def test_finetune_mode_refcocop(self, data_dir, tmp_path):
         """finetune_distr semantics: refcocop data, selection = refexp mAP,
         eval_every gating."""
