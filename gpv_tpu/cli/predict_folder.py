@@ -1,0 +1,113 @@
+"""Batch inference over a directory of images -> JSONL.
+
+Fills the gap between the single-image `inference.py` and the COCO-format
+eval pipeline (`compute_predictions`): point it at ANY folder of
+JPEG/PNG images with one query (or a .txt of per-image queries) and get
+one JSON line per image. No reference counterpart — upstream users script
+this by looping `inference.py` (one process + compile per image).
+
+Usage:
+  python -m gpv_tpu.cli.predict_folder images=<dir> query="what is this?" \
+      [out=predictions.jsonl] [batch=20] [task=classification] \
+      [queries=<file.txt>]            # one query per line, paired by sort
+      [resize=true]                   # false -> native-resolution buckets
+      [num_output_boxes=5] [ckpt=...] [tpu.infer_data_parallel=-1]
+
+Images are resized to the training resolution by default so every batch
+shares one compiled executable; `resize=false` switches to
+`predict_native`'s shape-bucketed path.
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+def iter_image_files(root: Path):
+    return sorted(p for p in Path(root).rglob("*")
+                  if p.suffix.lower() in IMAGE_EXTS)
+
+
+def main(argv=None):
+    from inference import build_engine
+    from gpv_tpu.datasets.coco import load_image, resize_uint8
+    from gpv_tpu.infer.predictions import coco_vocab_mask
+
+    raw = list(argv if argv is not None else sys.argv[1:])
+    local = {}
+    overrides = []
+    for o in raw:
+        k, _, v = o.partition("=")
+        if k in ("images", "query", "queries", "out", "batch", "task",
+                 "resize", "num_output_boxes"):
+            local[k] = v
+        else:
+            overrides.append(o)
+    if "images" not in local:
+        raise SystemExit("required: images=<directory>")
+
+    from gpv_tpu.utils.config import load_config
+    if not any(o.startswith("ckpt=") for o in overrides):
+        overrides = ["ckpt=null"] + overrides
+    cfg = load_config("configs", "exp/gpv_inference", overrides)
+    engine = build_engine(cfg)
+
+    files = iter_image_files(Path(local["images"]))
+    if not files:
+        raise SystemExit(f"no images under {local['images']} "
+                         f"(extensions: {sorted(IMAGE_EXTS)})")
+
+    if "queries" in local:
+        queries = Path(local["queries"]).read_text().splitlines()
+        if len(queries) != len(files):
+            raise SystemExit(
+                f"queries file has {len(queries)} lines for "
+                f"{len(files)} images (paired by sorted filename)")
+    else:
+        queries = [local.get("query", "what is this?")] * len(files)
+
+    mask = None
+    task = local.get("task")
+    if task in ("classification", "classification_syns"):
+        mask = coco_vocab_mask(engine.vocab,
+                               use_syns=task == "classification_syns")
+    elif task is not None:
+        # other task tokens ride in the query text itself, as upstream
+        pass
+
+    do_resize = str(local.get("resize", "true")).lower() != "false"
+    H = int(cfg.task_configs.image_size.H)
+    W = int(cfg.task_configs.image_size.W)
+    batch = int(local.get("batch", 20))
+    nb = int(local.get("num_output_boxes", 5))
+    out_path = Path(local.get("out", "predictions.jsonl"))
+
+    with out_path.open("w") as f:
+        for start in range(0, len(files), batch):
+            chunk = files[start:start + batch]
+            qs = queries[start:start + batch]
+            imgs = [load_image(str(p)) for p in chunk]
+            if do_resize:
+                stacked = np.stack([resize_uint8(im, H, W) for im in imgs])
+                outs = engine.predict(stacked, qs, vocab_mask=mask)
+            else:
+                outs = engine.predict_native(imgs, qs, vocab_mask=mask)
+            for p, q, o in zip(chunk, qs, outs):
+                f.write(json.dumps({
+                    "file": str(p), "query": q, "answer": o["answer"],
+                    "boxes": np.asarray(o["boxes"])[:nb].tolist(),
+                    "relevance":
+                        np.asarray(o["relevance"])[:nb].tolist()}) + "\n")
+            print(f"{min(start + batch, len(files))}/{len(files)}",
+                  flush=True)
+    print(f"wrote {out_path}")
+    return out_path
+
+
+if __name__ == "__main__":
+    main()
