@@ -156,10 +156,11 @@ def main(argv=None):
         serve_cfg = cfg.get("serve") or {}
         batch = int(serve_cfg.get("batch_size", 20))
         buckets = tuple(serve_cfg.get("bucket_sizes", (1, 8, batch)))
+    warm = str(serve_cfg.get("warmup", True)).lower() != "false"
     server = GPVServer(
         engine, max_wait_ms=float(serve_cfg.get("max_wait_ms", 5.0)),
         num_workers=int(serve_cfg.get("num_workers", 2)),
-        bucket_sizes=buckets, warmup=(H, W))
+        bucket_sizes=buckets, warmup=(H, W) if warm else None)
     masks = {
         "vqa": None, "captioning": None, "detection": None,
         "classification": coco_vocab_mask(engine.vocab, use_syns=False),
@@ -171,13 +172,24 @@ def main(argv=None):
     print(f"gpv_tpu serving on :{port} (buckets={buckets}, "
           f"image {H}x{W}); POST /predict, GET /healthz, GET /stats",
           flush=True)
+    # SIGTERM (orchestrator stop) -> graceful drain: stop accepting, serve
+    # the queued tail, resolve every in-flight future, then exit 0
+    import signal
+
+    def _term(signum, frame):
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:
+        pass  # not the main thread (tests drive main() in a thread)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         httpd.shutdown()
-        server.close()
+        server.close(drain=True)
 
 
 if __name__ == "__main__":

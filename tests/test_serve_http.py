@@ -129,6 +129,55 @@ class TestHttpFrontend:
         s = client.stats()
         assert s["completed"] >= 3
 
+    @pytest.mark.slow
+    def test_sigterm_graceful_shutdown(self, engine, tmp_path):  # noqa: F811
+        """SIGTERM drains and exits 0 (orchestrator-stop contract)."""
+        import os
+        import signal
+        import subprocess
+        import sys as _sys
+        import time
+        from pathlib import Path
+        from gpv_tpu.client import GPVClient
+        from gpv_tpu.export import export_engine
+
+        bundle = tmp_path / "bundle"
+        export_engine(engine, bundle, batch_sizes=(2,), image_hw=(48, 64))
+        port = 19000 + os.getpid() % 999
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        # the env var alone loses to the sitecustomize axon registration;
+        # pin the config BEFORE any backend touch (same as conftest), and
+        # share the test compile cache so the exported modules reload warm
+        code = (
+            "import jax;"
+            "jax.config.update('jax_platforms','cpu');"
+            "jax.config.update('jax_compilation_cache_dir',"
+            "'/tmp/gpv_tpu_test_jax_cache');"
+            "from gpv_tpu.cli.serve_http import main;"
+            f"main(['bundle={bundle}','port={port}','host=127.0.0.1',"
+            "'serve.warmup=false'])")
+        proc = subprocess.Popen(
+            [_sys.executable, "-c", code],
+            cwd=str(Path(__file__).resolve().parent.parent), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        client = GPVClient(f"http://127.0.0.1:{port}", timeout_s=240)
+        deadline = time.time() + 240
+        try:
+            while time.time() < deadline and not client.healthy():
+                assert proc.poll() is None, proc.stdout.read()[-3000:]
+                time.sleep(1)
+            assert client.healthy()
+            rng = np.random.RandomState(30)
+            out = client.predict(rng.randint(0, 255, (48, 64, 3),
+                                             np.uint8), "before sigterm")
+            assert isinstance(out["answer"], str)
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=120)
+            assert proc.returncode == 0, proc.stdout.read()[-3000:]
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
     def test_stats_endpoint(self, http_stack):
         """GET /stats reflects served traffic (runs after the predict
         tests in this class, so counters must be non-zero)."""
