@@ -148,14 +148,15 @@ def main(argv=None):
         engine = ExportedEngine(bundle)
         H, W = engine.image_hw
         serve_cfg = cfg.get("serve") or {}
-        buckets = tuple(serve_cfg.get("bucket_sizes", engine.batch_sizes))
+        buckets = tuple(serve_cfg.get("bucket_sizes")
+                        or engine.batch_sizes)
     else:
         engine = build_engine(cfg)
         H = int(cfg.task_configs.image_size.H)
         W = int(cfg.task_configs.image_size.W)
         serve_cfg = cfg.get("serve") or {}
         batch = int(serve_cfg.get("batch_size", 20))
-        buckets = tuple(serve_cfg.get("bucket_sizes", (1, 8, batch)))
+        buckets = tuple(serve_cfg.get("bucket_sizes") or (1, 8, batch))
     warm = str(serve_cfg.get("warmup", True)).lower() != "false"
     server = GPVServer(
         engine, max_wait_ms=float(serve_cfg.get("max_wait_ms", 5.0)),
