@@ -174,6 +174,8 @@ class TestEngineNativeRes:
 
 
 class TestBeamReferenceSemantics:
+    @pytest.mark.slow  # 28 s; quick-suite beam coverage lives in
+    # test_reference_source (parity vs the reference's own beam)
     def test_matches_slow_python_beam(self, model_and_vars):
         """Batched beam_decode == a slow Python replica of the reference
         algorithm's effective semantics (k1-major candidate ordering, t=0
