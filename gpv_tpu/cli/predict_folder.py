@@ -35,8 +35,15 @@ def iter_image_files(root: Path):
 
 def main(argv=None):
     from inference import build_engine
-    from gpv_tpu.datasets.coco import load_image, resize_uint8
+    from gpv_tpu.datasets.coco import resize_uint8
     from gpv_tpu.infer.predictions import coco_vocab_mask
+    from PIL import Image
+
+    def load_rgb(path):
+        # arbitrary user images: palette/grayscale/RGBA PNGs must decode
+        # to real RGB pixels (same as the serving path's _decode_image)
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), np.uint8)
 
     raw = list(argv if argv is not None else sys.argv[1:])
     local = {}
@@ -50,6 +57,13 @@ def main(argv=None):
             overrides.append(o)
     if "images" not in local:
         raise SystemExit("required: images=<directory>")
+    task = local.get("task")
+    known_tasks = ("vqa", "captioning", "detection", "classification",
+                   "classification_syns")
+    if task is not None and task not in known_tasks:
+        # fail fast (before the engine build); never silently drop a
+        # misspelled flag (serve_http returns 400 for the same case)
+        raise SystemExit(f"unknown task {task!r}; known: {known_tasks}")
 
     from gpv_tpu.utils.config import load_config
     if not any(o.startswith("ckpt=") for o in overrides):
@@ -72,13 +86,11 @@ def main(argv=None):
         queries = [local.get("query", "what is this?")] * len(files)
 
     mask = None
-    task = local.get("task")
     if task in ("classification", "classification_syns"):
         mask = coco_vocab_mask(engine.vocab,
                                use_syns=task == "classification_syns")
-    elif task is not None:
-        # other task tokens ride in the query text itself, as upstream
-        pass
+    # vqa/captioning/detection carry the task in the query text itself,
+    # as upstream — no mask
 
     do_resize = str(local.get("resize", "true")).lower() != "false"
     H = int(cfg.task_configs.image_size.H)
@@ -90,11 +102,20 @@ def main(argv=None):
     with out_path.open("w") as f:
         for start in range(0, len(files), batch):
             chunk = files[start:start + batch]
-            qs = queries[start:start + batch]
-            imgs = [load_image(str(p)) for p in chunk]
+            qs = list(queries[start:start + batch])
+            imgs = [load_rgb(p) for p in chunk]
             if do_resize:
-                stacked = np.stack([resize_uint8(im, H, W) for im in imgs])
-                outs = engine.predict(stacked, qs, vocab_mask=mask)
+                # pad the final partial chunk by repetition so ONE compiled
+                # executable serves every batch (iter_padded_batches /
+                # serve.py policy), then slice back
+                n_real = len(imgs)
+                resized = [resize_uint8(im, H, W) for im in imgs]
+                while len(resized) < batch:
+                    resized.append(resized[-1])
+                    qs.append(qs[-1])
+                outs = engine.predict(np.stack(resized), qs,
+                                      vocab_mask=mask)[:n_real]
+                qs = qs[:n_real]
             else:
                 outs = engine.predict_native(imgs, qs, vocab_mask=mask)
             for p, q, o in zip(chunk, qs, outs):

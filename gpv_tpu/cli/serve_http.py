@@ -64,6 +64,11 @@ def make_handler(server, vocab_masks: dict, size_hw, timeout_s: float = 120.0):
         # one engine dispatch can take seconds cold; don't let the default
         # HTTP/1.0-style close kill keep-alive batching clients
         protocol_version = "HTTP/1.1"
+        # socket read timeout: an idle keep-alive connection releases its
+        # handler thread within 5 s, bounding graceful-shutdown joins
+        # (waiting on a predict future is unaffected — that's not a socket
+        # read)
+        timeout = 5
 
         def _reply(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -122,7 +127,13 @@ def make_http_server(server, vocab_masks: dict, size_hw,
                      host: str = "0.0.0.0", port: int = 8000,
                      timeout_s: float = 120.0) -> ThreadingHTTPServer:
     handler = make_handler(server, vocab_masks, size_hw, timeout_s)
-    return ThreadingHTTPServer((host, port), handler)
+    httpd = ThreadingHTTPServer((host, port), handler)
+    # non-daemon handler threads + block_on_close: server_close() JOINS
+    # in-flight handlers, so a graceful shutdown never kills a thread
+    # mid-reply (daemon threads die with the interpreter)
+    httpd.daemon_threads = False
+    httpd.block_on_close = True
+    return httpd
 
 
 def serve_in_thread(httpd: ThreadingHTTPServer) -> threading.Thread:
@@ -189,8 +200,9 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
-        httpd.shutdown()
-        server.close(drain=True)
+        httpd.shutdown()           # stop accepting
+        server.close(drain=True)   # serve the queued tail
+        httpd.server_close()       # join in-flight handler replies
 
 
 if __name__ == "__main__":

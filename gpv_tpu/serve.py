@@ -68,6 +68,12 @@ class GPVServer:
         self._latencies: deque = deque(maxlen=1000)
         self._closed = threading.Event()
         self._closing = threading.Event()  # reject submits while draining
+        # submit/close serialization + busy-worker count: close(drain=True)
+        # must not declare the server idle while a worker holds popped
+        # items, and a submit that passed the closing check must not land
+        # in the queue after close() already drained it
+        self._lifecycle_lock = threading.Lock()
+        self._busy = 0
         self._workers = [
             threading.Thread(target=self._worker, daemon=True)
             for _ in range(max(1, num_workers))]
@@ -77,13 +83,16 @@ class GPVServer:
     def submit(self, image_uint8: np.ndarray, query: str,
                vocab_mask: Optional[np.ndarray] = None) -> Future:
         """Enqueue one request; resolves to {answer, boxes, relevance}."""
-        if self._closed.is_set() or self._closing.is_set():
-            raise RuntimeError("server closed")
         fut: Future = Future()
+        with self._lifecycle_lock:
+            # check-and-enqueue is atomic vs close(): no request can slip
+            # into the queue after close() drained and cancelled leftovers
+            if self._closed.is_set() or self._closing.is_set():
+                raise RuntimeError("server closed")
+            self._q.put((image_uint8, query, vocab_mask, fut,
+                         time.monotonic()))
         with self._stats_lock:
             self._submitted += 1
-        self._q.put((image_uint8, query, vocab_mask, fut,
-                     time.monotonic()))
         return fut
 
     @staticmethod
@@ -115,6 +124,11 @@ class GPVServer:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
                 return None
+        # from here until _execute completes this worker HOLDS requests that
+        # are in neither _q nor _pending; close(drain=True) must not declare
+        # the server idle meanwhile (the worker decrements after _execute)
+        with self._lifecycle_lock:
+            self._busy += 1
         items = [first]
         key = self._mask_key(first[2])
         deferred = []
@@ -142,8 +156,17 @@ class GPVServer:
             else:
                 deferred.append(it)
         if deferred:
+            late = []
             with self._pending_lock:
                 self._pending.extend(deferred)
+                if self._closed.is_set():
+                    # this worker outlived close()'s pending-cancel
+                    # snapshot; nothing will ever serve these — cancel
+                    # under the same lock so no future is stranded
+                    late = list(self._pending)
+                    self._pending.clear()
+            for it in late:
+                it[3].cancel()
             with self._stats_lock:
                 self._deferred += len(deferred)
         return items
@@ -152,7 +175,11 @@ class GPVServer:
         while not self._closed.is_set():
             items = self._collect()
             if items:
-                self._execute(items)
+                try:
+                    self._execute(items)
+                finally:
+                    with self._lifecycle_lock:
+                        self._busy -= 1
 
     def _execute(self, items):
         """Run one coalesced batch and resolve its futures."""
@@ -237,19 +264,31 @@ class GPVServer:
         """
         if self._closed.is_set():
             return
-        self._closing.set()
+        with self._lifecycle_lock:
+            # atomic vs submit(): after this, no new request can enqueue
+            self._closing.set()
         if drain:
             deadline = time.monotonic() + timeout
-            while (not self._q.empty() or self._pending) and \
-                    time.monotonic() < deadline:
+            while time.monotonic() < deadline:
+                with self._lifecycle_lock:
+                    idle = self._busy == 0
+                with self._pending_lock:
+                    no_pending = not self._pending
+                # idle must be checked too: a worker may HOLD popped items
+                # (e.g. about to defer a mask-mismatched request back to
+                # _pending) while both queues look empty
+                if self._q.empty() and no_pending and idle:
+                    break
                 time.sleep(0.01)
         self._closed.set()
         for w in self._workers:
             w.join(timeout=max(1.0, timeout / 4))
         # cancel anything the workers never picked up (or, without drain,
-        # whatever was left in flight)
-        leftovers = list(self._pending)
-        self._pending.clear()
+        # whatever was left in flight); under _pending_lock — a worker that
+        # outlived its join timeout may still be re-adding deferrals
+        with self._pending_lock:
+            leftovers = list(self._pending)
+            self._pending.clear()
         while True:
             try:
                 leftovers.append(self._q.get_nowait())

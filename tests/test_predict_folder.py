@@ -12,10 +12,15 @@ from _fake_data import TINY_OVERRIDES
 def image_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("imgs")
     rng = np.random.RandomState(0)
-    for i in range(3):
+    for i in range(2):
         Image.fromarray(
             rng.randint(0, 255, (48, 64, 3), np.uint8)).save(
             d / f"img_{i}.png")
+    # palette-mode PNG: must decode via convert('RGB'), not as raw
+    # palette indices
+    Image.fromarray(
+        rng.randint(0, 255, (48, 64, 3), np.uint8)).convert(
+        "P", palette=Image.ADAPTIVE).save(d / "img_2_palette.png")
     (d / "notes.txt").write_text("not an image")
     return d
 
@@ -56,6 +61,12 @@ class TestPredictFolder:
         qfile.write_text("only one line")
         with pytest.raises(SystemExit, match="paired"):
             main([f"images={image_dir}", f"queries={qfile}"]
+                 + TINY_OVERRIDES)
+
+    def test_unknown_task_raises(self, image_dir, tmp_path):
+        from gpv_tpu.cli.predict_folder import main
+        with pytest.raises(SystemExit, match="unknown task"):
+            main([f"images={image_dir}", "task=clasification"]
                  + TINY_OVERRIDES)
 
     def test_empty_dir_raises(self, tmp_path):

@@ -149,26 +149,46 @@ class TestServer:
 
     def test_close_without_drain_cancels_unserved(self, engine):
         """close(drain=False): whatever the workers never picked up is
-        CANCELLED rather than left pending forever."""
+        CANCELLED rather than left pending forever. Deterministic: the
+        single worker is parked inside a blocking predict while the tail
+        is queued."""
+        import threading
         from concurrent.futures import CancelledError
+
+        gate = threading.Event()
+        entered = threading.Event()
+
+        class _BlockingEngine:
+            vocab = engine.vocab
+
+            def predict(self, images, queries, mask=None):
+                entered.set()
+                assert gate.wait(timeout=120)
+                return engine.predict(images, queries, mask)
+
         rng = np.random.RandomState(12)
-        # no workers can run: occupy the only worker with a long wait by
-        # closing before it can coalesce (max_wait large, many requests)
-        server = GPVServer(engine, batch_size=4, max_wait_ms=2000,
+        server = GPVServer(_BlockingEngine(), batch_size=2, max_wait_ms=1,
                            num_workers=1)
         futs = [server.submit(rng.randint(0, 255, (48, 64, 3), np.uint8),
-                              f"cancel {i}") for i in range(8)]
-        server.close(drain=False)
+                              f"cancel {i}") for i in range(6)]
+        assert entered.wait(timeout=60)  # worker holds batch 1 in predict
+        closer = threading.Thread(
+            target=lambda: server.close(drain=False, timeout=4))
+        closer.start()
+        # the tail (batches 2-3) is still queued; close cancels it, then
+        # the gate releases the worker to finish batch 1
+        closer.join(timeout=60)
+        assert not closer.is_alive()
+        gate.set()
         resolved = cancelled = 0
         for f in futs:
-            assert f.done()
             try:
-                f.result(timeout=1)
+                f.result(timeout=60)
                 resolved += 1
             except CancelledError:
                 cancelled += 1
-        assert resolved + cancelled == 8
-        assert cancelled >= 1  # the never-picked-up tail was cancelled
+        assert cancelled == 4      # everything the worker never picked up
+        assert resolved == 2       # the in-flight batch still completes
 
 
 class TestCollectScheduling:
@@ -184,6 +204,9 @@ class TestCollectScheduling:
         srv._pending = []
         srv._pending_lock = threading.Lock()
         srv._stats_lock = threading.Lock()
+        srv._lifecycle_lock = threading.Lock()
+        srv._busy = 0
+        srv._closed = threading.Event()
         srv._deferred = 0
         return srv
 
