@@ -269,6 +269,7 @@ class GPVServer:
             self._closing.set()
         if drain:
             deadline = time.monotonic() + timeout
+            stable = 0
             while time.monotonic() < deadline:
                 with self._lifecycle_lock:
                     idle = self._busy == 0
@@ -276,9 +277,16 @@ class GPVServer:
                     no_pending = not self._pending
                 # idle must be checked too: a worker may HOLD popped items
                 # (e.g. about to defer a mask-mismatched request back to
-                # _pending) while both queues look empty
+                # _pending) while both queues look empty. Require the idle
+                # state to HOLD across 3 spaced observations: a worker
+                # between q.get() and its busy increment is invisible for
+                # one instant, but cannot stay so for 30 ms.
                 if self._q.empty() and no_pending and idle:
-                    break
+                    stable += 1
+                    if stable >= 3:
+                        break
+                else:
+                    stable = 0
                 time.sleep(0.01)
         self._closed.set()
         for w in self._workers:
