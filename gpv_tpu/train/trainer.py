@@ -178,12 +178,15 @@ class Trainer:
             donate=bool(cfg.tpu.get("donate_buffers", True)))
 
         # in-train eval engine. tpu.infer_data_parallel shards eval batches
-        # over N local devices (-1 = all) so a slice doesn't idle 7/8 chips
-        # during epoch evals; multi-host stays single-device rank-0 (the
-        # engine mesh must be fully addressable — see GPVEngine).
+        # over N LOCAL devices (-1 = all) so a slice doesn't idle 7/8 chips
+        # during epoch evals. Works multi-host too: eval stays rank-0-gated,
+        # and rank 0 shards over its OWN host's chips — jax.local_devices()
+        # is fully addressable per process, which is all GPVEngine's mesh
+        # requires (the other ranks build an engine they never predict
+        # with; its weights never commit — lazy `variables`).
         infer_mesh = None
         n_dp = int(cfg.tpu.get("infer_data_parallel", 1) or 1)
-        if n_dp != 1 and jax.process_count() == 1:
+        if n_dp != 1:
             devs = jax.local_devices()
             n_dp = len(devs) if n_dp < 0 else min(n_dp, len(devs))
             if n_dp > 1:

@@ -43,12 +43,20 @@ cfg = tiny_cfg(data_dir, exp_dir, extra=[
     "training.ckpt_step=2",  # exercise the rolling 'last' ckpt mid-epoch
     # vis batch == eval batch so predict() reuses one compiled executable
     "training.num_vis_samples=4",
+    # rank-0 eval shards over rank 0's own 4 local devices (multi-host
+    # local-mesh inference): the engine mesh must stay fully addressable
+    # while the TRAIN mesh spans both processes
+    "tpu.infer_data_parallel=-1",
 ])
 
 trainer = Trainer(cfg)
 assert jax.process_count() == 2, jax.process_count()
 assert len(jax.devices()) == 8
 assert trainer.is_main == (pid == 0)
+# eval engine shards over THIS process's 4 local devices while the train
+# mesh spans all 8 global devices (infer_data_parallel=-1 above)
+assert trainer.engine.mesh is not None
+assert trainer.engine._dp == 4, trainer.engine._dp
 
 results = trainer.train()
 if pid == 0:
