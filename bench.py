@@ -46,7 +46,31 @@ PIPELINE_DEPTH = 3  # results kept in flight before fetching (hides the
                     # tunnel's ~30 ms synchronous round-trip floor)
 
 
+def _require_backend(timeout_s: float = 240.0):
+    """Fail FAST if the accelerator backend is unreachable.
+
+    The dev TPU relay can go down for hours with `jax.devices()` itself
+    hanging; without this bound the bench (and the driver invoking it)
+    stalls silently until an external timeout. Probe in a thread —
+    a wedged backend init can't be cancelled, but exiting the process
+    kills it."""
+    import sys
+    import threading
+    devs = []
+    t = threading.Thread(target=lambda: devs.extend(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not devs:
+        print(f"bench: accelerator backend unreachable "
+              f"(jax.devices() did not return within {timeout_s:.0f}s; "
+              "the TPU relay is likely down)", file=sys.stderr, flush=True)
+        raise SystemExit(2)
+    return devs
+
+
 def main():
+    _require_backend()
     from gpv_tpu.decode import greedy_decode
     from gpv_tpu.models.gpv import GPV
 
