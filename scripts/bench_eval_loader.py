@@ -1,0 +1,75 @@
+"""Offline-eval loader throughput: sequential vs threaded (eval.num_workers).
+
+Measures `iter_padded_batches` item throughput over a synthetic on-disk
+image set (JPEG decode + resize per item — the host work the eval loop
+pays per image). PIL decode/resize release the GIL, so workers scale with
+CORES; on this 1-vCPU dev box the threaded path mostly demonstrates
+overlap-not-slowdown, and per-core numbers extrapolate to real eval hosts
+(the reference uses a num_workers torch DataLoader for the same reason,
+train_distr.py:213-222).
+
+Usage: python scripts/bench_eval_loader.py [n=256] [workers=0,4,8]
+Prints one JSON line per worker count.
+"""
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+class _DiskImageDataset:
+    """Minimal dataset: decode JPEG + resize, like eval-mode CocoDataset."""
+
+    def __init__(self, files, hw=(480, 640)):
+        self.files = files
+        self.hw = hw
+
+    def __len__(self):
+        return len(self.files)
+
+    def get(self, i, rng):
+        from gpv_tpu.datasets.coco import load_image, resize_uint8
+        img = load_image(self.files[i])
+        return {"image": resize_uint8(img, *self.hw),
+                "query": f"what is {i}?"}
+
+
+def main():
+    args = dict(a.split("=", 1) for a in sys.argv[1:])
+    n = int(args.get("n", 256))
+    workers = [int(w) for w in args.get("workers", "0,4,8").split(",")]
+
+    from PIL import Image
+    from gpv_tpu.infer.predictions import iter_padded_batches
+
+    tmp = Path(tempfile.mkdtemp(prefix="eval_loader_bench_"))
+    rng = np.random.RandomState(0)
+    files = []
+    for i in range(min(n, 64)):  # reuse 64 distinct JPEGs round-robin
+        p = tmp / f"{i}.jpg"
+        Image.fromarray(rng.randint(0, 255, (480, 640, 3),
+                                    np.uint8)).save(p, quality=90)
+        files.append(str(p))
+    ds = _DiskImageDataset([files[i % len(files)] for i in range(n)])
+
+    for nw in workers:
+        # warm one pass to fault in files/page cache
+        next(iter_padded_batches(ds, 16, max_samples=16, num_workers=nw))
+        t0 = time.perf_counter()
+        items = 0
+        for batch, n_real in iter_padded_batches(ds, 16, num_workers=nw):
+            items += n_real
+        dt = time.perf_counter() - t0
+        print(json.dumps({"num_workers": nw, "items": items,
+                          "img_per_sec": round(items / dt, 1),
+                          "ms_per_img": round(1000 * dt / items, 2)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
