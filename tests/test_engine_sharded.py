@@ -122,6 +122,27 @@ class TestShardedPredict:
                                        atol=1e-5)
 
 
+class TestServerComposition:
+    @pytest.mark.slow  # extra padded-shape executable
+    def test_batching_server_over_sharded_engine(self, engines):
+        """GPVServer coalesces onto a mesh engine: bucket sizes that don't
+        divide the data axis pad internally (engine._prep) and answers
+        match the single-device engine."""
+        from gpv_tpu.serve import GPVServer
+        single, sharded = engines
+        server = GPVServer(sharded, bucket_sizes=(2,), max_wait_ms=20,
+                           num_workers=1)
+        try:
+            imgs = _imgs(4, seed=31)
+            futs = [server.submit(imgs[i], f"compose {i}")
+                    for i in range(4)]
+            ref = single.predict(imgs, [f"compose {i}" for i in range(4)])
+            for f, r in zip(futs, ref):
+                assert f.result(timeout=300)["answer"] == r["answer"]
+        finally:
+            server.close()
+
+
 class TestMeshValidation:
     def test_non_addressable_mesh_rejected(self, engines):
         # doctored mesh view claiming a device owned by a foreign process:
