@@ -35,6 +35,27 @@ def mesh_from_config(tpu_cfg, devices=None) -> Mesh:
                      devices)
 
 
+def validate_multihost_mesh(mesh: Mesh, n_processes: int | None = None):
+    """Reject multi-host tensor parallelism loudly.
+
+    With >1 processes and a model axis >1, params become global arrays
+    SHARDED across hosts: rank-0 checkpointing and rank-0 eval both
+    materialize `addressable_data(0)` (one shard), which would silently
+    write a corrupt checkpoint / evaluate on truncated weights. GPV at
+    ~250M params never needs cross-host TP (SURVEY.md §2.7); until the
+    save/eval paths gain an all-rank gather, reject the combination at
+    trainer construction instead of corrupting state at the first save.
+    """
+    n = jax.process_count() if n_processes is None else int(n_processes)
+    if n > 1 and mesh.shape.get(MODEL_AXIS, 1) > 1:
+        raise ValueError(
+            f"tpu.mesh.model={mesh.shape[MODEL_AXIS]} with {n} processes: "
+            "multi-host tensor parallelism is not supported — rank-0 "
+            "checkpointing/eval assume params are fully replicated across "
+            "processes. Use tpu.mesh.model=1 for multi-host runs (pure "
+            "DP, the reference's strategy) or single-process TP.")
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -113,6 +113,16 @@ def wait_for_saves(path=None):
 def _host_value(x):
     """Fetch a (possibly global, fully-replicated) array to host numpy."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if not x.sharding.is_fully_replicated:
+            # one process holds only its shards of a cross-host sharded
+            # array: addressable_data(0) would silently return a TRUNCATED
+            # value (corrupt checkpoint / eval weights). The trainer rejects
+            # multi-host TP up front (validate_multihost_mesh); this guards
+            # any other path that reaches here.
+            raise ValueError(
+                f"cannot materialize non-replicated global array "
+                f"(sharding {x.sharding}) on a single host; gather it "
+                "across processes first")
         return np.asarray(x.addressable_data(0))
     return np.asarray(x)
 

@@ -27,8 +27,8 @@ from ..datasets.loader import Collator, DataLoader
 from ..engine import GPVEngine
 from ..losses.criterion import LossConfig
 from ..models.gpv import build_gpv
-from ..parallel.mesh import (initialize_distributed,
-                             mesh_from_config, shard_batch)
+from ..parallel.mesh import (initialize_distributed, mesh_from_config,
+                             shard_batch, validate_multihost_mesh)
 from ..parallel.train_step import create_train_state, make_train_step
 from ..text.vocab import AnswerVocab
 from ..text.wordpiece import WordPieceTokenizer
@@ -68,6 +68,7 @@ class Trainer:
         initialize_distributed(cfg.tpu)
         self.is_main = jax.process_index() == 0
         self.mesh = mesh_from_config(cfg.tpu)
+        validate_multihost_mesh(self.mesh)
         # how long non-main ranks wait at rank-skew barriers while rank 0
         # evals/visualizes/checkpoints (see _sync). Generous default: a
         # barrier timeout converts a slow eval into a CLUSTER-WIDE crash

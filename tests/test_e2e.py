@@ -134,6 +134,79 @@ class TestTrainerE2E:
                               extra=("training.ckpt_step=2",)))
         assert int(t3.state.step) == 0
 
+    @pytest.mark.slow
+    def test_elastic_resume_across_mesh_topologies(self, data_dir,
+                                                   tmp_path):
+        """Elastic recovery across topology changes: checkpoints are host
+        numpy (topology-independent), so a run saved under pure DP (8x1)
+        resumes under dp x tp (4x2) — params re-shard at the first jitted
+        step — and a TP-sharded state saves back a full (gathered)
+        checkpoint that a pure-DP run can resume in turn. The reference
+        has no elastic story at all (SURVEY.md §5: recovery = manual
+        restart on the same rig)."""
+        from gpv_tpu.train.trainer import Trainer
+        cfg = tiny_cfg(data_dir, tmp_path, extra=("exp_name=elastic",))
+        t1 = Trainer(cfg)
+        assert dict(t1.mesh.shape) == {"data": 8, "model": 1}
+        t1.train()
+        t1.save(0, {"model_selection_metric": 1.0})
+        p1 = np.asarray(t1.state.params["detr_joiner"]["kernel"])
+
+        cfg2 = tiny_cfg(data_dir, tmp_path,
+                        extra=(f"training.ckpt={cfg.ckpt_dir}/model",
+                               "training.num_epochs=2",
+                               "tpu.mesh.data=4", "tpu.mesh.model=2",
+                               "exp_name=elastic"))
+        t2 = Trainer(cfg2)
+        assert dict(t2.mesh.shape) == {"data": 4, "model": 2}
+        assert int(t2.state.step) == t1.step
+        np.testing.assert_array_equal(
+            np.asarray(t2.state.params["detr_joiner"]["kernel"]), p1)
+        results = t2.train()  # trains ON the 4x2 mesh (epoch 2)
+        assert np.isfinite(results["model_selection_metric"])
+        # the post-train params are TP-sharded jax arrays; save must
+        # materialize the FULL gathered value, not a shard
+        t2.save(1, {"model_selection_metric": 2.0})
+        p2 = np.asarray(t2.state.params["detr_joiner"]["kernel"])
+        assert p2.shape == p1.shape
+
+        cfg3 = tiny_cfg(data_dir, tmp_path,
+                        extra=(f"training.ckpt={cfg.ckpt_dir}/model",
+                               "training.num_epochs=3",
+                               "exp_name=elastic"))
+        t3 = Trainer(cfg3)  # back on the default 8x1 mesh
+        assert int(t3.state.step) == t2.step
+        np.testing.assert_array_equal(
+            np.asarray(t3.state.params["detr_joiner"]["kernel"]), p2)
+        # and a TP-SHARDED kernel round-trips exactly too
+        np.testing.assert_array_equal(
+            np.asarray(t3.state.params["detr"]["transformer"]
+                       ["encoder_layer0"]["linear1"]["kernel"]),
+            np.asarray(t2.state.params["detr"]["transformer"]
+                       ["encoder_layer0"]["linear1"]["kernel"]))
+
+    @pytest.mark.slow
+    def test_elastic_resume_on_fewer_devices(self, data_dir, tmp_path):
+        """A checkpoint written on the 8-device mesh resumes in a fresh
+        process that only has FOUR devices (preempted pod, smaller slice)
+        and trains another epoch there."""
+        import subprocess
+        import sys
+        from gpv_tpu.train.trainer import Trainer
+        cfg = tiny_cfg(data_dir, tmp_path, extra=("exp_name=elastic_n4",))
+        t1 = Trainer(cfg)
+        t1.train()
+        t1.save(0, {"model_selection_metric": 1.0})
+
+        repo = Path(__file__).resolve().parent.parent
+        proc = subprocess.run(
+            [sys.executable, str(repo / "tests/_elastic_worker.py"),
+             str(data_dir), str(tmp_path), str(t1.step)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            timeout=1500)
+        assert proc.returncode == 0, proc.stdout[-4000:]
+        assert "ELASTIC_OK" in proc.stdout, proc.stdout[-2000:]
+
     def test_frozen_phase_uses_frozen_batch_size(self, data_dir, tmp_path):
         """freeze=True trains at training.frozen_batch_size (reference
         train_distr.py:485-486 overwrites batch_size in the frozen

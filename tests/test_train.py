@@ -53,6 +53,21 @@ def init_vars(model):
     return tiny_init(model)
 
 
+class TestMeshValidation:
+    def test_multihost_tp_rejected(self):
+        """Multi-host + model axis >1 must fail at construction: rank-0
+        save/eval materialize addressable_data(0), which is one SHARD of a
+        cross-host sharded param (silent checkpoint corruption)."""
+        from gpv_tpu.parallel.mesh import validate_multihost_mesh
+        # fine: single-process TP, multi-host pure DP
+        validate_multihost_mesh(make_mesh(data=4, model=2), n_processes=1)
+        validate_multihost_mesh(make_mesh(data=8, model=1), n_processes=4)
+        with pytest.raises(ValueError,
+                           match="multi-host tensor parallelism"):
+            validate_multihost_mesh(make_mesh(data=4, model=2),
+                                    n_processes=2)
+
+
 class TestOptimizer:
     def test_param_groups(self):
         assert param_group(("detr", "backbone", "conv1", "kernel")) == "detr_backbone"
