@@ -29,12 +29,13 @@ import numpy as np
 TRAIN_FLOPS_PER_IMG = 215.6e9
 
 
-def make_batch(B, H=480, W=640, S=20, M=8, Tq=12, vocab=10000):
+def make_batch(B, H=480, W=640, S=20, M=8, Tq=12, vocab=10000,
+               bert_vocab=30522):
     rng = np.random.RandomState(0)
     tasks = np.arange(B) % 4  # cap, vqa, cls, det ids 0..3
     return {
         "image": rng.randint(0, 255, (B, H, W, 3)).astype(np.uint8),
-        "query_ids": rng.randint(0, 30522, (B, Tq)).astype(np.int32),
+        "query_ids": rng.randint(0, bert_vocab, (B, Tq)).astype(np.int32),
         "query_valid": np.ones((B, Tq), bool),
         "answer_ids": rng.randint(0, vocab, (B, S)).astype(np.int32),
         "answer_lens": np.full((B,), 12, np.int32),
@@ -42,8 +43,7 @@ def make_batch(B, H=480, W=640, S=20, M=8, Tq=12, vocab=10000):
         "has_answer": tasks != 3,
         "boxes": rng.uniform(0.3, 0.6, (B, M, 4)).astype(np.float32),
         "box_labels": np.zeros((B, M), np.int32),
-        "box_valid": np.tile([True, True, True, False, False, False, False,
-                              False], (B, 1)),
+        "box_valid": np.tile([True] * 3 + [False] * (M - 3), (B, 1)),
         "has_boxes": tasks == 3,
     }
 
@@ -61,10 +61,15 @@ def main():
     from gpv_tpu.train import build_optimizer
     from gpv_tpu.utils.config import ConfigNode
 
-    kv = [a for a in sys.argv[1:] if a.startswith(("steps=", "profile_dir="))]
+    kv = [a for a in sys.argv[1:]
+          if a.startswith(("steps=", "profile_dir=", "platform="))]
     opts = dict(a.split("=", 1) for a in kv)
     steps = int(opts.get("steps", 5))
     profile_dir = opts.get("profile_dir")
+    if opts.get("platform"):
+        # smoke-testing the harness off-TPU (the sitecustomize axon
+        # registration wins over the env var, so pin via config)
+        jax.config.update("jax_platforms", opts["platform"])
     configs = []
     for a in sys.argv[1:]:
         if a in kv:
@@ -72,9 +77,10 @@ def main():
         d = dict(x.split("=", 1) for x in a.split(","))
         configs.append((int(d["B"]), int(d.get("accum", 1)),
                         bool(int(d.get("remat", 0))),
-                        bool(int(d.get("freeze", 0)))))
+                        bool(int(d.get("freeze", 0))),
+                        bool(int(d.get("tiny", 0)))))
     if not configs:
-        configs = [(16, 1, False, False)]
+        configs = [(16, 1, False, False, False)]
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
@@ -88,26 +94,47 @@ def main():
         "lr_warmup_fraction": 0.1, "freeze": False,
     })
 
-    prev_remat = None
+    prev_key = None
     model = state = None
-    for B, accum, remat, freeze in configs:
-        if remat != prev_remat:
-            model = GPV(vocab_size=10000, detr_cfg=detr_cfg,
-                        remat=remat, dtype=jnp.bfloat16)
-            batch1 = make_batch(1)
+    for B, accum, remat, freeze, tiny in configs:
+        # tiny=1: toy dims for smoke-testing the harness (e.g. the XLA-flag
+        # sweep's subprocess plumbing on CPU) — NOT a performance config
+        if tiny:
+            bdims = dict(H=48, W=64, S=8, M=4, Tq=5, vocab=64,
+                         bert_vocab=100)
+            mkw = dict(vocab_size=64, hidden_dim=32, max_text_len=8,
+                       co_att_num_layers=1, co_att_heads=4,
+                       co_att_intermediate=64, dropout=0.0,
+                       text_decoder_layers=1, text_decoder_heads=4,
+                       detr_cfg=dict(num_queries=10, num_classes=1,
+                                     hidden_dim=32, nheads=4,
+                                     num_encoder_layers=1,
+                                     num_decoder_layers=1,
+                                     dim_feedforward=64, dropout=0.0,
+                                     backbone_layers=[1, 1, 1, 1]),
+                       bert_layers=1, bert_hidden=32, bert_heads=4,
+                       bert_vocab_size=100)
+        else:
+            bdims = {}
+            mkw = dict(vocab_size=10000, detr_cfg=detr_cfg)
+        if (remat, tiny) != prev_key:
+            model = GPV(remat=remat, dtype=jnp.bfloat16, **mkw)
+            batch1 = make_batch(1, **bdims)
             variables = model.init(
                 jax.random.PRNGKey(0),
-                jnp.zeros((1, 480, 640, 3), jnp.float32),
+                jnp.zeros((1,) + batch1["image"].shape[1:3] + (3,),
+                          jnp.float32),
                 jnp.asarray(batch1["query_ids"][:1]),
                 jnp.asarray(batch1["answer_ids"][:1]), train=False)
             optimizer = build_optimizer(training_cfg, steps_per_epoch=1000,
                                         params=variables["params"])
             state = create_train_state(variables, optimizer)
-            prev_remat = remat
+            prev_key = (remat, tiny)
         step = make_train_step(model, optimizer, LossConfig(), 0.1,
                                mesh=None, donate=False, grad_accum=accum,
                                freeze_detr=freeze)
-        batch = {k: jnp.asarray(v) for k, v in make_batch(B).items()}
+        batch = {k: jnp.asarray(v)
+                 for k, v in make_batch(B, **bdims).items()}
         rng = jax.random.PRNGKey(1)
         t0 = time.perf_counter()
         st, losses = step(state, batch, rng)
@@ -134,12 +161,14 @@ def main():
 
         ms = 1000 * min(times)
         rate = B / min(times)
-        # NOTE: the FLOPs/img constant assumes a FULL backward; frozen-
-        # phase rows skip the DETR backward, so mfu is not meaningful there
-        mfu = None if freeze else TRAIN_FLOPS_PER_IMG * rate / 197e12
+        # NOTE: the FLOPs/img constant assumes a FULL backward at full
+        # size; frozen-phase rows skip the DETR backward and tiny rows are
+        # toy dims, so mfu is not meaningful there
+        mfu = None if (freeze or tiny) \
+            else TRAIN_FLOPS_PER_IMG * rate / 197e12
         print(json.dumps({
             "B": B, "grad_accum": accum, "remat": remat,
-            "freeze": freeze,
+            "freeze": freeze, "tiny": tiny,
             "ms_per_step": round(ms, 1), "img_per_sec": round(rate, 1),
             "compile_s": round(compile_s, 1),
             "est_train_mfu": None if mfu is None else round(mfu, 3),

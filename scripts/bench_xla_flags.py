@@ -37,18 +37,29 @@ FLAG_SETS = {
 
 def main():
     args = dict(a.split("=", 1) for a in sys.argv[1:])
-    B = int(args.get("B", 120))
-    accum = int(args.get("accum", 4))
-    steps = int(args.get("steps", 4))
+    smoke = bool(int(args.get("smoke", 0)))
+    B = int(args.get("B", 4 if smoke else 120))
+    accum = int(args.get("accum", 1 if smoke else 4))
+    steps = int(args.get("steps", 2 if smoke else 4))
 
-    for name, flags in FLAG_SETS.items():
+    flag_sets = FLAG_SETS
+    if smoke:
+        # smoke=1: validate the subprocess plumbing on CPU with a tiny
+        # model before the TPU is available. The TPU-only flag names are
+        # unknown to the CPU backend — that exercises the safe-to-fail
+        # error path on one set; "baseline" must produce a real row.
+        flag_sets = {"baseline": FLAG_SETS["baseline"],
+                     "vmem64": FLAG_SETS["vmem64"]}
+
+    for name, flags in flag_sets.items():
         env = dict(os.environ)
         base = env.get("XLA_FLAGS", "")
         env["XLA_FLAGS"] = f"{base} {flags}".strip()
         # fresh process per flag set: XLA flags are read once at backend
         # init, and the persistent compile cache keys include them
         cmd = [sys.executable, str(REPO / "scripts/bench_train_step.py"),
-               f"B={B},accum={accum}", f"steps={steps}"]
+               f"B={B},accum={accum}" + (",tiny=1" if smoke else ""),
+               f"steps={steps}"] + (["platform=cpu"] if smoke else [])
         try:
             out = subprocess.run(cmd, env=env, cwd=str(REPO),
                                  capture_output=True, text=True,
