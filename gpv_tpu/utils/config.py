@@ -185,6 +185,15 @@ def load_config(config_dir: str | Path, config_name: str,
         k, v = ov.split("=", 1)
         if (config_dir / k / f"{v}.yaml").exists():
             group_overrides[k] = v
+        elif (config_dir / k).is_dir():
+            # the key names a config GROUP but the choice doesn't exist —
+            # fail like hydra instead of silently setting a string value
+            # (e.g. `learning_datasets=tpyo` must not replace the composed
+            # dataset dict with the string "tpyo")
+            options = sorted(p.stem for p in (config_dir / k).glob("*.yaml"))
+            raise ValueError(
+                f"unknown option {v!r} for config group {k!r}; "
+                f"available: {options}")
         else:
             value_overrides.append((k, _parse_scalar(v)))
 

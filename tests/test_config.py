@@ -24,6 +24,12 @@ class TestConfigEngine:
         assert set(cfg.learning_datasets) == {
             "CocoDetection", "CocoVqa", "CocoCaptioning"}
 
+    def test_unknown_group_choice_raises(self):
+        """A typo'd GROUP choice must fail like hydra, not silently set a
+        string value where a composed dict is expected."""
+        with pytest.raises(ValueError, match="unknown option 'tpyo'"):
+            load_config("configs", "exp/gpv", ["learning_datasets=tpyo"])
+
     def test_value_overrides_with_types(self):
         cfg = load_config("configs", "exp/gpv", [
             "training.lr=5e-4", "training.freeze=True",
