@@ -14,7 +14,7 @@ def main(argv=None):
     from gpv_tpu.infer.predictions import (evaluate_predictions,
                                            make_predictions)
     from gpv_tpu.utils.config import load_config
-    from inference import build_engine
+    from gpv_tpu.infer.build import build_engine
 
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = load_config("configs", "exp/gpv", overrides)
@@ -22,8 +22,16 @@ def main(argv=None):
     subset = cfg.eval.subset
 
     ckpt = cfg.eval.get("ckpt")
-    cfg["ckpt"] = ckpt if ckpt and Path(str(ckpt)).exists() else None
-    engine = build_engine(cfg)
+    if not ckpt:
+        cfg["ckpt"] = None  # explicit eval.ckpt=null: random-weight debug
+    elif not Path(str(ckpt)).exists():
+        # never silently evaluate random weights: a typo'd (or not-yet-
+        # trained) checkpoint path must fail, not write garbage metrics
+        raise SystemExit(
+            f"eval.ckpt not found: {ckpt} "
+            "(pass eval.ckpt=null explicitly to run with random weights)")
+    else:
+        cfg["ckpt"] = ckpt
 
     ld = cfg.learning_datasets
     task_cfg_name = ld[task].task_config if task in ld else None
@@ -40,6 +48,9 @@ def main(argv=None):
     eval_dir = Path(cfg.exp_dir) / "eval"
     data_split = cfg.task_configs.data_split
     if cfg.eval.get("predict", True):
+        # engine (ckpt load + BN fold + device commit) only on the predict
+        # path — eval.predict=False re-scores existing predictions host-side
+        engine = build_engine(cfg)
         beam_size = cfg.eval.get("beam_size")
         predictions, boxes_path, _ = make_predictions(
             engine, dataset, task, int(cfg.eval.batch_size), eval_dir,

@@ -15,7 +15,7 @@ def main(argv=None):
     from gpv_tpu.infer.predictions import (compute_cap_test_predictions,
                                            compute_vqa_test_predictions)
     from gpv_tpu.utils.config import load_config
-    from inference import build_engine
+    from gpv_tpu.infer.build import build_engine
 
     overrides = [o for o in (argv or sys.argv[1:]) if not
                  o.startswith("kind=")]
@@ -25,7 +25,15 @@ def main(argv=None):
                       ["task_configs.data_split=original_split"] + overrides)
     subset = cfg.eval.subset
     ckpt = cfg.eval.get("ckpt")
-    cfg["ckpt"] = ckpt if ckpt and Path(str(ckpt)).exists() else None
+    if not ckpt:
+        cfg["ckpt"] = None  # explicit eval.ckpt=null: random-weight debug
+    elif not Path(str(ckpt)).exists():
+        # never silently submit random-weight predictions to an eval server
+        raise SystemExit(
+            f"eval.ckpt not found: {ckpt} "
+            "(pass eval.ckpt=null explicitly to run with random weights)")
+    else:
+        cfg["ckpt"] = ckpt
     engine = build_engine(cfg)
     out_dir = Path(cfg.exp_dir) / "eval"
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -16,7 +16,7 @@ import sys
 def main(argv=None):
     from gpv_tpu.export import export_engine
     from gpv_tpu.utils.config import load_config
-    from inference import build_engine
+    from gpv_tpu.infer.build import build_engine
 
     overrides = list(argv if argv is not None else sys.argv[1:])
     keep, out, bs, h, w = [], None, (1, 8, 20), 480, 640

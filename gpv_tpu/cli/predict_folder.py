@@ -7,11 +7,15 @@ one JSON line per image. No reference counterpart — upstream users script
 this by looping `inference.py` (one process + compile per image).
 
 Usage:
-  python -m gpv_tpu.cli.predict_folder images=<dir> query="what is this?" \
+  python -m gpv_tpu.cli.predict_folder images=<dir> ckpt=<path> \
+      query="what is this?" \
       [out=predictions.jsonl] [batch=20] [task=classification] \
       [queries=<file.txt>]            # one query per line, paired by sort
       [resize=true]                   # false -> native-resolution buckets
-      [num_output_boxes=5] [ckpt=...] [tpu.infer_data_parallel=-1]
+      [num_output_boxes=5] [tpu.infer_data_parallel=-1]
+
+`ckpt=` is required (`ckpt=null` opts into random weights explicitly —
+the tool never writes garbage predictions because a path was forgotten).
 
 Images are resized to the training resolution by default so every batch
 shares one compiled executable; `resize=false` switches to
@@ -34,9 +38,9 @@ def iter_image_files(root: Path):
 
 
 def main(argv=None):
-    from inference import build_engine
+    from gpv_tpu.infer.build import build_engine
     from gpv_tpu.datasets.coco import resize_uint8
-    from gpv_tpu.infer.predictions import coco_vocab_mask
+    from gpv_tpu.evaluation.evaluators import coco_vocab_mask
     from PIL import Image
 
     def load_rgb(path):
@@ -65,12 +69,8 @@ def main(argv=None):
         # misspelled flag (serve_http returns 400 for the same case)
         raise SystemExit(f"unknown task {task!r}; known: {known_tasks}")
 
-    from gpv_tpu.utils.config import load_config
-    if not any(o.startswith("ckpt=") for o in overrides):
-        overrides = ["ckpt=null"] + overrides
-    cfg = load_config("configs", "exp/gpv_inference", overrides)
-    engine = build_engine(cfg)
-
+    # cheap input validation first — before the ckpt requirement and the
+    # (expensive) engine build
     files = iter_image_files(Path(local["images"]))
     if not files:
         raise SystemExit(f"no images under {local['images']} "
@@ -84,6 +84,16 @@ def main(argv=None):
                 f"{len(files)} images (paired by sorted filename)")
     else:
         queries = [local.get("query", "what is this?")] * len(files)
+
+    from gpv_tpu.utils.config import load_config
+    if not any(o.startswith("ckpt=") for o in overrides):
+        # never silently write random-weight predictions: the checkpoint
+        # must be named (or random weights opted into) explicitly
+        raise SystemExit(
+            "required: ckpt=<checkpoint path> "
+            "(or ckpt=null explicitly to run with random weights)")
+    cfg = load_config("configs", "exp/gpv_inference", overrides)
+    engine = build_engine(cfg)
 
     mask = None
     if task in ("classification", "classification_syns"):

@@ -36,7 +36,6 @@ def main(argv=None):
     cap_cfg = cfg_for("preprocess_coco_captions")
     vqa_cfg = cfg_for("preprocess_vqa")
     vocab_cfg = cfg_for("coco_vocab")
-    root = Path(det_cfg.data_dir) / "learning_phase_data"
 
     for subset in _subsets(det_cfg):
         inst_path = Path(det_cfg.download_dir) / det_cfg.instances[subset]

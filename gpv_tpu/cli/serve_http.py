@@ -17,7 +17,7 @@ Protocol (JSON over HTTP):
                    "relevance": [float x Q]}
 
 `task=classification[_syns]` applies the COCO-class vocab mask exactly like
-the offline eval path (`infer/predictions.py:coco_vocab_mask`); all other
+the offline eval path (`evaluation/evaluators.py:coco_vocab_mask`); all other
 tasks decode over the open vocabulary (the task token is carried by the
 query text itself, as upstream).
 
@@ -143,25 +143,33 @@ def serve_in_thread(httpd: ThreadingHTTPServer) -> threading.Thread:
 
 
 def main(argv=None):
-    from inference import build_engine
-
-    from gpv_tpu.infer.predictions import coco_vocab_mask
+    from gpv_tpu.evaluation.evaluators import coco_vocab_mask
     from gpv_tpu.serve import GPVServer
-    from gpv_tpu.utils.config import load_config
 
     raw = list(argv if argv is not None else sys.argv[1:])
     bundle = next((o.split("=", 1)[1] for o in raw
                    if o.startswith("bundle=")), None)
     overrides = [o for o in raw if not o.startswith("bundle=")]
-    cfg = load_config("configs", "exp/gpv_inference", overrides)
     if bundle:
+        # AOT-bundle mode is CONFIG-FREE: no model code, no repo configs/
+        # tree — a packaged install plus the bundle directory is enough
+        # (export.py's deployment contract). Overrides are plain dotted
+        # values onto serving defaults.
         from gpv_tpu.export import ExportedEngine
+        from gpv_tpu.utils.config import ConfigNode, _parse_scalar
+        cfg = ConfigNode({"serve": ConfigNode()})
+        for o in overrides:
+            k, _, v = o.partition("=")
+            cfg.set_path(k, _parse_scalar(v))
         engine = ExportedEngine(bundle)
         H, W = engine.image_hw
         serve_cfg = cfg.get("serve") or {}
         buckets = tuple(serve_cfg.get("bucket_sizes")
                         or engine.batch_sizes)
     else:
+        from gpv_tpu.infer.build import build_engine
+        from gpv_tpu.utils.config import load_config
+        cfg = load_config("configs", "exp/gpv_inference", overrides)
         engine = build_engine(cfg)
         H = int(cfg.task_configs.image_size.H)
         W = int(cfg.task_configs.image_size.W)

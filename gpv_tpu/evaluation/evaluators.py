@@ -41,6 +41,19 @@ def coco_synonyms() -> dict:
     return _synonyms_cache
 
 
+def coco_vocab_mask(vocab, use_syns: bool = False) -> np.ndarray:
+    """COCO-class vocab mask (reference `create_coco_vocab_mask`,
+    exp/gpv/metrics.py:122-144). Lives here (not infer/) so serving hosts
+    that only run AOT bundles can build masks without importing the model
+    stack (engine -> flax)."""
+    from ..text.treebank import word_tokenize
+    words = []
+    for cls_name, syns in coco_synonyms().items():
+        for phrase in (syns if use_syns else [cls_name]):
+            words.extend(word_tokenize(phrase))
+    return vocab.make_mask(words)
+
+
 class CocoEvalBase:
     task = "Generic"
 

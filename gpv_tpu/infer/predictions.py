@@ -16,18 +16,10 @@ from typing import Optional
 import numpy as np
 
 from ..engine import GPVEngine
-from ..evaluation.evaluators import EVALUATOR_CLASSES, TASK_TO_ID_FIELD
-from ..text.treebank import word_tokenize
-from ..evaluation.evaluators import coco_synonyms
-
-
-def coco_vocab_mask(vocab, use_syns: bool = False) -> np.ndarray:
-    """COCO-class vocab mask (reference `create_coco_vocab_mask`)."""
-    words = []
-    for cls_name, syns in coco_synonyms().items():
-        for phrase in (syns if use_syns else [cls_name]):
-            words.extend(word_tokenize(phrase))
-    return vocab.make_mask(words)
+from ..evaluation.evaluators import (EVALUATOR_CLASSES, TASK_TO_ID_FIELD,
+                                     coco_vocab_mask)  # noqa: F401 — moved
+# to evaluation.evaluators (light import for bundle-serving hosts);
+# re-exported here for the historical import path
 
 
 def iter_padded_batches(dataset, batch_size: int, max_samples=None,

@@ -127,6 +127,8 @@ def _resolve(root: ConfigNode, value: Any, stack: tuple = ()) -> Any:
 
         def sub(mm):
             key = mm.group(1)
+            if key in stack:  # embedded cycles too, not just whole-string
+                raise ValueError(f"interpolation cycle at ${{{key}}}")
             tgt = root.get_path(key, _MISSING)
             if tgt is _MISSING:
                 raise KeyError(f"interpolation target not found: ${{{key}}}")
@@ -159,7 +161,8 @@ def _load_yaml(path: Path):
 
 def load_config(config_dir: str | Path, config_name: str,
                 overrides: list[str] | None = None,
-                resolve: bool = True) -> ConfigNode:
+                resolve: bool = True,
+                _group_overrides: dict | None = None) -> ConfigNode:
     """Compose a config the hydra way.
 
     Args:
@@ -177,7 +180,7 @@ def load_config(config_dir: str | Path, config_name: str,
     primary.pop("hydra", None)
 
     overrides = list(overrides or [])
-    group_overrides: dict[str, str] = {}
+    group_overrides: dict[str, str] = dict(_group_overrides or {})
     value_overrides: list[tuple[str, Any]] = []
     for ov in overrides:
         if "=" not in ov:
@@ -205,9 +208,14 @@ def load_config(config_dir: str | Path, config_name: str,
             group, name = None, entry
         if group is None:
             # plain entry: compose the referenced config recursively (its
-            # own defaults list applies first), hydra-style
+            # own defaults list applies first), hydra-style. Group choices
+            # from THIS call's overrides apply inside the nested defaults
+            # too (hydra applies `group=name` to the whole composition —
+            # e.g. `learning_datasets=all` on exp/gpv_inference must reach
+            # the group entry living in exp/gpv's defaults list)
             sub = load_config(config_dir, name, overrides=None,
-                              resolve=False)
+                              resolve=False,
+                              _group_overrides=group_overrides)
             cfg = _merge(cfg, sub)
             continue
         name = group_overrides.get(group, name)

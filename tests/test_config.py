@@ -24,6 +24,24 @@ class TestConfigEngine:
         assert set(cfg.learning_datasets) == {
             "CocoDetection", "CocoVqa", "CocoCaptioning"}
 
+    def test_group_override_reaches_nested_defaults(self):
+        """hydra applies `group=choice` to the WHOLE composition: the
+        learning_datasets entry lives in exp/gpv's defaults, which
+        exp/gpv_inference composes as a plain entry — the override must
+        reach it (it used to be silently dropped)."""
+        cfg = load_config("configs", "exp/gpv_inference",
+                          ["learning_datasets=all"])
+        assert {"CocoDetection", "CocoVqa", "CocoCaptioning",
+                "CocoClassification"} <= set(cfg.learning_datasets)
+
+    def test_embedded_interpolation_cycle_raises(self):
+        """a: x${b} / b: y${a} must raise the cycle ValueError, not
+        RecursionError (the whole-string path already did)."""
+        from gpv_tpu.utils.config import _resolve
+        cfg = ConfigNode({"a": "x${b}", "b": "y${a}"})
+        with pytest.raises(ValueError, match="cycle"):
+            _resolve(cfg, cfg)
+
     def test_unknown_group_choice_raises(self):
         """A typo'd GROUP choice must fail like hydra, not silently set a
         string value where a composed dict is expected."""

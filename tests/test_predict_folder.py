@@ -32,7 +32,7 @@ class TestPredictFolder:
         out = tmp_path / "preds.jsonl"
         # 48x64 training resolution keeps the resize path on one tiny
         # executable
-        main([f"images={image_dir}", "query=what is this?",
+        main([f"images={image_dir}", "query=what is this?", "ckpt=null",
               f"out={out}", "batch=2", "num_output_boxes=3",
               "task_configs.image_size={H: 48, W: 64}"] + TINY_OVERRIDES)
         rows = [json.loads(l) for l in out.read_text().splitlines()]
@@ -49,7 +49,7 @@ class TestPredictFolder:
         qfile.write_text("\n".join(f"query {i}" for i in range(3)))
         out = tmp_path / "paired.jsonl"
         main([f"images={image_dir}", f"queries={qfile}", f"out={out}",
-              "batch=2",
+              "batch=2", "ckpt=null",
               "task_configs.image_size={H: 48, W: 64}"] + TINY_OVERRIDES)
         rows = [json.loads(l) for l in out.read_text().splitlines()]
         assert [r["query"] for r in rows] == [f"query {i}"
@@ -75,3 +75,10 @@ class TestPredictFolder:
         empty.mkdir()
         with pytest.raises(SystemExit, match="no images"):
             main([f"images={empty}"] + TINY_OVERRIDES)
+
+    def test_missing_ckpt_arg_raises(self, image_dir):
+        """No ckpt= must fail loudly, not write random-weight predictions
+        (ckpt=null is the explicit opt-in, used by the tests above)."""
+        from gpv_tpu.cli.predict_folder import main
+        with pytest.raises(SystemExit, match="ckpt="):
+            main([f"images={image_dir}", "query=q"] + TINY_OVERRIDES)

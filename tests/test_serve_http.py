@@ -178,6 +178,27 @@ class TestHttpFrontend:
             if proc.poll() is None:
                 proc.kill()
 
+    def test_bundle_serving_imports_no_model_stack(self):
+        """The AOT-bundle serving path (ExportedEngine + GPVServer + vocab
+        masks) must not import the model stack — a packaged serving host
+        carries no flax/model code (export.py's deployment contract)."""
+        import subprocess
+        import sys as _sys
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu')\n"
+            "from gpv_tpu.evaluation.evaluators import coco_vocab_mask\n"
+            "from gpv_tpu.export import ExportedEngine\n"
+            "from gpv_tpu.serve import GPVServer\n"
+            "import sys\n"
+            "leaked = [m for m in ('flax', 'gpv_tpu.models.gpv',"
+            " 'gpv_tpu.engine', 'gpv_tpu.nn.resnet') if m in sys.modules]\n"
+            "assert not leaked, leaked\n"
+            "print('OK')\n")
+        out = subprocess.run([_sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "OK" in out.stdout
+
     def test_stats_endpoint(self, http_stack):
         """GET /stats reflects served traffic (runs after the predict
         tests in this class, so counters must be non-zero)."""
