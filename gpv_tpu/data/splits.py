@@ -126,7 +126,10 @@ class AssignCocoCategories:
             return not any(self._looks_like_noun(tokens, i) for i in idxs)
         if name == "clock" and appearance in ("watch", "watches"):
             if tokens and tokens[-1] in ("watch", "watches"):
-                return True
+                # sentence-FINAL "watch" is a noun -> KEEP the category
+                # (reference split_data_by_categories.py:86-88 returns
+                # False before the POS scan; this was inverted here)
+                return False
             return not any(self._looks_like_noun(tokens, i) for i in idxs)
         return False
 

@@ -16,7 +16,10 @@ from typing import Dict, List
 
 from ..evaluation.evaluators import coco_synonyms
 
-SYNONYMS: Dict[str, List[str]] = None  # populated lazily via __getattr__
+# resolved lazily via module __getattr__ (PEP 562 only fires for MISSING
+# attributes — an eager `SYNONYMS = None` here would shadow it and make
+# `from gpv_tpu.data.synonyms import SYNONYMS` permanently None)
+SYNONYMS: Dict[str, List[str]]
 
 
 def __getattr__(name):

@@ -91,6 +91,13 @@ class DataLoader:
         `shard_batch`'s process-local assembly."""
         assert batch_size % max(1, num_shards) == 0, (
             f"global batch {batch_size} not divisible by {num_shards} shards")
+        if num_shards > 1 and not drop_last:
+            # a trailing partial global batch splits unevenly across
+            # shards (some processes would get EMPTY or shorter slices,
+            # crashing the collator on one rank while the others proceed
+            # — a cluster desync). Sharded iteration requires fixed-size
+            # batches; the fixed-shape XLA step needs drop_last anyway.
+            raise ValueError("num_shards > 1 requires drop_last=True")
         self.dataset = dataset
         self.collator = collator
         self.batch_size = batch_size
@@ -160,21 +167,41 @@ class DataLoader:
         def producer():
             try:
                 import concurrent.futures as cf
+                from collections import deque
                 with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                    futures = [pool.submit(load_batch, bi, idxs)
-                               for bi, idxs in enumerate(batches)]
-                    for f in futures:
+                    # LAZY submission window: at most workers+prefetch
+                    # batches in flight. Submitting the whole epoch upfront
+                    # would let the pool race ahead of the consumer and
+                    # accumulate every collated batch of the epoch in
+                    # completed futures (multi-GB host RSS at 480x640x120).
+                    window = self.num_workers + max(1, int(self.prefetch))
+                    pending: deque = deque()
+                    nxt = 0
+                    while nxt < len(batches) and len(pending) < window:
+                        pending.append(pool.submit(load_batch, nxt,
+                                                   batches[nxt]))
+                        nxt += 1
+                    while pending:
+                        f = pending.popleft()
                         if stop.is_set() or not put(("ok", f.result())):
-                            for g in futures:
+                            for g in pending:
                                 g.cancel()
                             break
+                        if nxt < len(batches):
+                            pending.append(pool.submit(load_batch, nxt,
+                                                       batches[nxt]))
+                            nxt += 1
             except Exception as e:  # surfaces in the consumer
                 put(("err", e))
             finally:
-                try:
-                    out_q.put(("done", None), timeout=0.2)
-                except queue.Full:
-                    pass
+                # the sentinel must be DELIVERED, not attempted: a single
+                # timed put silently dropped it whenever the consumer was
+                # slower than the producer (full prefetch queue at epoch
+                # end), leaving the consumer blocked on get() forever —
+                # an end-of-epoch hang on any host whose image loading
+                # outpaces the train step. put() retries until delivered
+                # or the consumer has left (stop set).
+                put(("done", None))
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -136,7 +136,10 @@ class WordPieceTokenizer:
         T = max(len(e) for e in encoded)
         if max_len is not None:
             T = max_len
-            encoded = [e[:T] for e in encoded]
+            # truncation keeps the final [SEP] (HF BertTokenizer
+            # semantics) — BERT never saw a [CLS] ... sequence without it
+            encoded = [e[:T - 1] + [self.sep_id] if len(e) > T else e
+                       for e in encoded]
         ids = np.full((len(texts), T), self.pad_id, np.int32)
         valid = np.zeros((len(texts), T), bool)
         for i, e in enumerate(encoded):

@@ -31,9 +31,40 @@ class TestTreebank:
     def test_detokenize_matches_nltk(self):
         from nltk.tokenize.treebank import TreebankWordDetokenizer
         ref = TreebankWordDetokenizer()
-        for s in SENTENCES[:5]:
+        extra = [
+            # split contractions must REJOIN (nltk compiles the MacIntyre
+            # patterns with (?#X)->\s for the detokenizer; reusing the
+            # tokenizer variants silently never matched "can not")
+            "i cannot see", "he is gonna wanna leave",
+            "lemme gimme gotta d'ye more'n", "'tis a fine day 'twas",
+            "wait ... what?", "the cost is $3.88 and 50% off #1",
+            "a list: one, two; three", "(a) [b] {c} <d>",
+            "i'll go; you've seen it; they're here",
+        ]
+        for s in SENTENCES + extra:
             toks = word_tokenize(s)
             assert detokenize(toks) == ref.detokenize(toks), s
+
+    def test_tokenize_detokenize_fuzz_matches_nltk(self):
+        """Seeded fuzz over punctuation/contraction-heavy fragment combos:
+        both directions must match nltk exactly (0 diffs measured over
+        500 combos when this was fixed)."""
+        import random
+
+        from nltk.tokenize import TreebankWordTokenizer
+        from nltk.tokenize.treebank import TreebankWordDetokenizer
+        rt, rd = TreebankWordTokenizer(), TreebankWordDetokenizer()
+        frags = ["a dog", "can't", "cannot", "it's", "they're", "we've",
+                 "gonna", "wanna", "don't", "(two cats)", '"quoted"',
+                 "3.88", "$5", "50%", "one, two", "end.", "why?", "stop!",
+                 "...", "--", "a; b", "mr. smith", "'tis", "more'n",
+                 "x: y", "[z]", "he'll", "i'd"]
+        rng = random.Random(0)
+        for _ in range(200):
+            s = " ".join(rng.sample(frags, rng.randint(2, 6)))
+            t_ref = rt.tokenize(s)
+            assert word_tokenize(s) == t_ref, s
+            assert detokenize(t_ref) == rd.detokenize(t_ref), s
 
 
 class TestAnswerVocab:
@@ -89,3 +120,16 @@ class TestWordPiece:
         assert ids.shape == (2, 10) and valid.shape == (2, 10)
         assert ids[0, 0] == tok.cls_id
         assert (ids[~valid] == tok.pad_id).all()
+
+    def test_truncation_keeps_final_sep(self):
+        """HF BertTokenizer truncation always ends with [SEP]; plain e[:T]
+        fed BERT a [CLS]-...-no-[SEP] shape it was never trained on."""
+        tok = WordPieceTokenizer.debug()
+        long_text = " ".join(["man"] * 50)
+        ids, valid = tok.batch_encode([long_text, "man"], max_len=8)
+        assert ids.shape == (1 + 1, 8)
+        assert ids[0, 0] == tok.cls_id and ids[0, -1] == tok.sep_id
+        assert valid[0].all()
+        # untruncated rows keep their natural [SEP] position
+        n1 = int(valid[1].sum())
+        assert ids[1, n1 - 1] == tok.sep_id
