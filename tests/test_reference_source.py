@@ -53,34 +53,11 @@ def _module(name):
 
 
 def _install_stubs():
-    if "torchvision" not in sys.modules:
-        tv = _module("torchvision")
-        tv.__version__ = "0.8.2"  # skips detr_misc's <0.7 compat imports
-        ops = _module("torchvision.ops")
-        boxes_mod = _module("torchvision.ops.boxes")
-
-        def box_area(boxes):  # torchvision's one-line formula
-            return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-
-        boxes_mod.box_area = box_area
-        misc = _module("torchvision.ops.misc")
-
-        def _unavailable(*a, **k):
-            raise NotImplementedError("torchvision stub: not driven by tests")
-
-        ops.roi_align = _unavailable
-        ops.boxes, ops.misc = boxes_mod, misc
-        models = _module("torchvision.models")
-        mutils = _module("torchvision.models._utils")
-
-        class IntermediateLayerGetter:  # referenced at import, unused here
-            def __init__(self, *a, **k):
-                raise NotImplementedError("torchvision stub")
-
-        mutils.IntermediateLayerGetter = IntermediateLayerGetter
-        models._utils = mutils
-        models.resnet50 = _unavailable
-        tv.ops, tv.models = ops, models
+    # functional pure-torch torchvision (real resnet50 /
+    # IntermediateLayerGetter / roi_align — the e2e composition test
+    # drives them; see tests/_torchvision_stub.py)
+    import _torchvision_stub
+    _torchvision_stub.install()
 
     _module("boto3")
     botocore = _module("botocore")
