@@ -26,13 +26,23 @@ class Collator:
     def __init__(self, vocab: AnswerVocab, tokenizer: WordPieceTokenizer,
                  max_text_len: int = 20, max_query_len: int = 20,
                  max_target_boxes: int = 64,
-                 answering_type: str = "generation"):
+                 answering_type: str = "generation",
+                 dedup_queries: bool = False, dedup_bucket: int = 16):
         self.vocab = vocab
         self.tokenizer = tokenizer
         self.max_text_len = max_text_len
         self.max_query_len = max_query_len
         self.max_target_boxes = max_target_boxes
         self.answering_type = answering_type
+        # dedup_queries: also emit the batch's UNIQUE query rows
+        # (query_uniq_ids/valid (U,Tq), U padded up to a multiple of
+        # dedup_bucket to bound executable-shape churn) plus gather-back
+        # indices query_gather (B,). The train step then runs frozen BERT
+        # on U rows instead of B (multitask batches repeat the ~36 task
+        # templates across most rows). Exact: identical token rows encode
+        # identically (BERT is frozen + dropout-free).
+        self.dedup_queries = dedup_queries
+        self.dedup_bucket = dedup_bucket
 
     def __call__(self, items: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
         B = len(items)
@@ -71,6 +81,22 @@ class Collator:
             "box_valid": box_valid,
             "has_boxes": has_boxes,
         }
+        if self.dedup_queries:
+            uniq, first, inverse = np.unique(
+                query_ids, axis=0, return_index=True, return_inverse=True)
+            bucket = self.dedup_bucket
+            U = max(bucket, ((len(uniq) + bucket - 1) // bucket) * bucket)
+            if U < B:  # no emission when dedup can't save a full bucket
+                uniq_ids = np.concatenate(
+                    [uniq, np.broadcast_to(uniq[:1], (U - len(uniq),
+                                                      uniq.shape[1]))])
+                uniq_valid = np.concatenate(
+                    [query_valid[first],
+                     np.broadcast_to(query_valid[first[:1]],
+                                     (U - len(uniq), query_valid.shape[1]))])
+                batch["query_uniq_ids"] = np.ascontiguousarray(uniq_ids)
+                batch["query_uniq_valid"] = np.ascontiguousarray(uniq_valid)
+                batch["query_gather"] = inverse.astype(np.int32).reshape(B)
         if "image" in items[0]:
             batch["image"] = np.stack([it["image"] for it in items])
         return batch

@@ -43,10 +43,17 @@ def beam_decode(model: GPV, variables, memory: jnp.ndarray,
     K = beam_size
     T = model.max_text_len
 
-    # expand memory across beams: (B*K, Tm, D)
-    mem = jnp.repeat(memory, K, axis=0)
+    # Precompute the loop-invariant decode state on the (B,·) memory FIRST,
+    # then tile across beams: the per-layer cross-attention K/V projections
+    # are identical for all K beams of a sample (only the queries differ),
+    # so projecting after a K-fold repeat would do K× the matmul FLOPs and
+    # K× the projection HBM writes for identical results. The classifier
+    # matrix is beam-independent entirely — never tiled.
+    mem_kvs, classifier = model.apply(variables, memory,
+                                      method=GPV.precompute_text_memory)
+    mem_kvs = jax.tree.map(lambda x: jnp.repeat(x, K, axis=0), mem_kvs)
+    mem_state = (mem_kvs, classifier)
     mv = jnp.repeat(mem_valid, K, axis=0) if mem_valid is not None else None
-    mem_kvs = model.apply(variables, mem, method=GPV.precompute_text_memory)
     caches = init_cache(model, B * K)
 
     tok0 = jnp.full((B * K,), cls_id, jnp.int32)
@@ -55,7 +62,7 @@ def beam_decode(model: GPV, variables, memory: jnp.ndarray,
 
     def step(carry, t):
         caches, tok, seq_log_prob, seqs = carry
-        logits, caches = model.apply(variables, tok, mem_kvs, mv, caches, t,
+        logits, caches = model.apply(variables, tok, mem_state, mv, caches, t,
                                      method=GPV.text_step)  # (B*K, V)
         if vocab_mask is not None:
             logits = logits + vocab_mask

@@ -116,8 +116,15 @@ def text_ce_losses(answer_logits: jnp.ndarray, answer_ids: jnp.ndarray,
     """
     logits = answer_logits.astype(jnp.float32)
     tgt = answer_ids[:, 1:]
-    ce = -jax.nn.log_softmax(logits, axis=-1)
-    ce = jnp.take_along_axis(ce, tgt[..., None], axis=-1)[..., 0]  # (B,S-1)
+    # CE in logsumexp-gather form: CE[b,s] = lse(logits[b,s]) -
+    # logits[b,s,tgt]. Identical math to -log_softmax(...)[tgt] (same
+    # max-subtracted stabilization), but the (B,S-1,V) fp32 log-softmax
+    # tensor (91 MB at B=120/V=10k) is never materialized for the gather —
+    # only the (B,S-1) reductions leave the fusion (BASELINE.md 'r4
+    # criterion traffic').
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (B,S-1)
+    tgt_logit = jnp.take_along_axis(logits, tgt[..., None], axis=-1)[..., 0]
+    ce = lse - tgt_logit  # (B,S-1)
     # reproduce reference batch-max padding: positions < max(len)-1 count
     smax = jnp.max(jnp.where(has_answer, answer_lens, 0))
     pos_ok = jnp.arange(tgt.shape[1])[None, :] < (smax - 1)

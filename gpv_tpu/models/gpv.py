@@ -126,9 +126,29 @@ class GPV(nn.Module):
 
     # ---------------- encoding ----------------
 
+    def encode_queries(self, query_ids, query_valid=None):
+        """Frozen-BERT query encodings: (N,Tl) ids -> (N,Tl,768), detached.
+
+        Factored out of `encode` so the training step can hoist it OUT of
+        the gradient/accumulation scope and run it on the batch's UNIQUE
+        query rows only (multitask batches repeat the ~36 task templates
+        across most rows — reference preprocess templates; BASELINE.md
+        'r3 roofline' names BERT's 6.8 ms / 3.7 GB as addressable). BERT is
+        frozen (reference no_grad + detach, gpv.py:142-145) and runs
+        dropout-free even in training, so encoding a row once is exact.
+        """
+        query_enc = self.bert(query_ids, valid=query_valid,
+                              deterministic=True)
+        return jax.lax.stop_gradient(query_enc)
+
     def encode(self, images, query_ids, image_valid=None, query_valid=None,
-               train: bool = False):
+               train: bool = False, query_enc=None):
         """Run both streams + fusion.
+
+        `query_enc` (B,Tl,768), when given, is a precomputed
+        `encode_queries` output (possibly dedup-gathered by the caller);
+        BERT is then skipped. `query_valid` keeps its (B,Tl) meaning either
+        way (it also masks fusion/decode below).
 
         Returns (memory (B,Tm,D), mem_valid (B,Tm) or None, outputs dict).
         """
@@ -140,9 +160,8 @@ class GPV(nn.Module):
         # BERT itself is ALWAYS pad-masked (the reference tokenizer builds an
         # attention_mask, bert.py:12-21); the fusion/decode masks below are
         # where the reference differs (PARITY.md #12).
-        query_enc = self.bert(query_ids, valid=query_valid,
-                              deterministic=True)
-        query_enc = jax.lax.stop_gradient(query_enc)
+        if query_enc is None:
+            query_enc = self.encode_queries(query_ids, query_valid)
         lv_hs = self.bert_joiner(query_enc)  # (B, Tl, 768)
 
         # mask_query_pads=True (default): batch-1 semantics — padded query
@@ -223,7 +242,7 @@ class GPV(nn.Module):
     # ---------------- full forward (teacher-forced training path) ----------
 
     def __call__(self, images, query_ids, answer_ids=None, image_valid=None,
-                 query_valid=None, train: bool = False):
+                 query_valid=None, train: bool = False, query_enc=None):
         """Returns the reference `outputs` dict.
 
         With `answer_ids` (B,S): `answer_logits` is (B,S-1,V) — logits for
@@ -231,7 +250,8 @@ class GPV(nn.Module):
         `decode_text(...)[:,:,:-1]` slice (gpv.py:201).
         """
         memory, mem_valid, outputs = self.encode(
-            images, query_ids, image_valid, query_valid, train)
+            images, query_ids, image_valid, query_valid, train,
+            query_enc=query_enc)
         if answer_ids is not None:
             target = self.embed_answer_tokens(answer_ids)
             logits = self.decode_text(target, memory, mem_valid, train)

@@ -102,12 +102,29 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
             variables, batch["image"], batch["query_ids"],
             batch["answer_ids"], image_valid=batch.get("image_valid"),
             query_valid=batch["query_valid"], train=True,
+            query_enc=batch.get("query_enc"),
             rngs={"dropout": rng})
         total, losses = gpv_criterion(outputs, batch, loss_cfg)
         return total, losses
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+
+        if "query_uniq_ids" in batch:
+            # Frozen-BERT dedup (BASELINE.md 'r4 query dedup'): the collator
+            # found the batch's unique query rows (multitask batches repeat
+            # the ~36 task templates across most of the ~120 rows); encode
+            # those ONCE — outside the grad-accum scan, BERT is frozen and
+            # dropout-free so this is exact — and gather back to (B,Tl,768).
+            batch = dict(batch)
+            uniq_enc = model.apply(
+                {"params": state.params,
+                 **({"batch_stats": state.batch_stats}
+                    if state.batch_stats else {})},
+                batch.pop("query_uniq_ids"), batch.pop("query_uniq_valid"),
+                method="encode_queries")
+            batch["query_enc"] = jnp.take(uniq_enc, batch.pop("query_gather"),
+                                          axis=0)
 
         if grad_accum <= 1:
             (_, losses), grads = jax.value_and_grad(

@@ -102,11 +102,21 @@ class Trainer:
             self.datasets[subset] = CocoMultitaskDataset(
                 cfg.learning_datasets, cfg.task_configs, subset,
                 training=(subset == "train"))
+        query_dedup = bool(cfg.training.get("query_dedup", False))
+        if query_dedup and jax.process_count() > 1:
+            # per-host unique counts differ, so per-host dedup emissions
+            # would disagree in shape/presence across the global batch
+            # assembly — reject loudly rather than desync the cluster
+            raise ValueError(
+                "training.query_dedup=true requires a single host process "
+                "(per-host unique-query buckets cannot be made consistent "
+                "across a sharded loader); unset it for multi-host runs")
         self.collator = Collator(
             self.vocab, self.tokenizer,
             max_text_len=int(cfg.model.max_text_len),
             max_target_boxes=int(cfg.model.get("max_target_boxes", 64)),
-            answering_type=str(cfg.model.answering_type))
+            answering_type=str(cfg.model.answering_type),
+            dedup_queries=query_dedup)
         batch_size = int(cfg.training.batch_size)
         if cfg.training.get("freeze", False):
             # frozen phase trains at its own global batch (reference

@@ -66,12 +66,23 @@ def main():
                                   cls_id)
         return checksum((tokens, outputs["pred_boxes"])) + checksum(memory)
 
+    @jax.jit
+    def full_beam5(variables, images, qids, qvalid):
+        # BASELINE config #4: VQA+Captioning with beam_size=5
+        from gpv_tpu.decode import beam_decode
+        memory, mem_valid, outputs = model.apply(
+            variables, images, qids, query_valid=qvalid, method=GPV.encode)
+        seqs, logp = beam_decode(model, variables, memory, mem_valid,
+                                 cls_id, 5)
+        return checksum((seqs, logp, outputs["pred_boxes"]))
+
     for B in batches:
         images = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3),
                                    jnp.float32)
         qids = jax.random.randint(jax.random.PRNGKey(2), (B, 12), 0, 30522)
         qvalid = jnp.ones((B, 12), bool)
-        for name, fn in (("encode_only", encode_only), ("full", full)):
+        for name, fn in (("encode_only", encode_only), ("full", full),
+                         ("full_beam5", full_beam5)):
             out = fn(variables, images, qids, qvalid)
             jax.block_until_ready(out)
             ts = []

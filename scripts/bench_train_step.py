@@ -30,13 +30,43 @@ TRAIN_FLOPS_PER_IMG = 215.6e9
 
 
 def make_batch(B, H=480, W=640, S=20, M=8, Tq=12, vocab=10000,
-               bert_vocab=30522):
+               bert_vocab=30522, dedup=False):
     rng = np.random.RandomState(0)
     tasks = np.arange(B) % 4  # cap, vqa, cls, det ids 0..3
+    # realistic query composition: det/cls/cap rows draw from the
+    # reference's fixed template pools (18/14/4 templates,
+    # data/preprocess.py), VQA rows are free-form (unique per row)
+    pool = {0: rng.randint(0, bert_vocab, (4, Tq)),
+            2: rng.randint(0, bert_vocab, (14, Tq)),
+            3: rng.randint(0, bert_vocab, (18, Tq))}
+    query_ids = np.empty((B, Tq), np.int64)
+    for i in range(B):
+        t = tasks[i]
+        if t == 1:
+            query_ids[i] = rng.randint(0, bert_vocab, Tq)
+        else:
+            query_ids[i] = pool[t][rng.randint(len(pool[t]))]
+    batch_extra = {}
+    if dedup:
+        uniq, first, inverse = np.unique(query_ids, axis=0,
+                                         return_index=True,
+                                         return_inverse=True)
+        U = max(16, ((len(uniq) + 15) // 16) * 16)
+        pad = U - len(uniq)
+        batch_extra = {
+            "query_uniq_ids": np.concatenate(
+                [uniq, np.broadcast_to(uniq[:1], (pad, Tq))]).astype(
+                np.int32),
+            "query_uniq_valid": np.ones((U, Tq), bool),
+            "query_gather": inverse.astype(np.int32).reshape(B),
+        }
+        print(f"dedup: B={B} unique={len(uniq)} bucket={U}",
+              file=sys.stderr)
     return {
         "image": rng.randint(0, 255, (B, H, W, 3)).astype(np.uint8),
-        "query_ids": rng.randint(0, bert_vocab, (B, Tq)).astype(np.int32),
+        "query_ids": query_ids.astype(np.int32),
         "query_valid": np.ones((B, Tq), bool),
+        **batch_extra,
         "answer_ids": rng.randint(0, vocab, (B, S)).astype(np.int32),
         "answer_lens": np.full((B,), 12, np.int32),
         "task_id": tasks.astype(np.int32),
@@ -78,9 +108,10 @@ def main():
         configs.append((int(d["B"]), int(d.get("accum", 1)),
                         bool(int(d.get("remat", 0))),
                         bool(int(d.get("freeze", 0))),
-                        bool(int(d.get("tiny", 0)))))
+                        bool(int(d.get("tiny", 0))),
+                        bool(int(d.get("dedup", 0)))))
     if not configs:
-        configs = [(16, 1, False, False, False)]
+        configs = [(16, 1, False, False, False, False)]
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
@@ -96,7 +127,7 @@ def main():
 
     prev_key = None
     model = state = None
-    for B, accum, remat, freeze, tiny in configs:
+    for B, accum, remat, freeze, tiny, dedup in configs:
         # tiny=1: toy dims for smoke-testing the harness (e.g. the XLA-flag
         # sweep's subprocess plumbing on CPU) — NOT a performance config
         if tiny:
@@ -134,7 +165,7 @@ def main():
                                mesh=None, donate=False, grad_accum=accum,
                                freeze_detr=freeze)
         batch = {k: jnp.asarray(v)
-                 for k, v in make_batch(B, **bdims).items()}
+                 for k, v in make_batch(B, dedup=dedup, **bdims).items()}
         rng = jax.random.PRNGKey(1)
         t0 = time.perf_counter()
         st, losses = step(state, batch, rng)
@@ -168,7 +199,7 @@ def main():
             else TRAIN_FLOPS_PER_IMG * rate / 197e12
         print(json.dumps({
             "B": B, "grad_accum": accum, "remat": remat,
-            "freeze": freeze, "tiny": tiny,
+            "freeze": freeze, "tiny": tiny, "dedup": dedup,
             "ms_per_step": round(ms, 1), "img_per_sec": round(rate, 1),
             "compile_s": round(compile_s, 1),
             "est_train_mfu": None if mfu is None else round(mfu, 3),

@@ -420,3 +420,93 @@ class TestFrozenPhase:
                    for g in jax.tree.leaves(grads["detr"]))
         assert any(float(jnp.max(jnp.abs(g))) > 0.0
                    for g in jax.tree.leaves(grads["detr_joiner"]))
+
+
+class TestQueryDedup:
+    """Frozen-BERT query dedup (BASELINE.md r4): the collator emits the
+    batch's unique query rows + gather indices; the train step encodes
+    the unique rows once, outside the grad-accum scan. Must be EXACT."""
+
+    def _dedup_fields(self, batch, bucket=4):
+        """Build the dedup emission the collator would (same algorithm)."""
+        q = batch["query_ids"]
+        uniq, first, inverse = np.unique(q, axis=0, return_index=True,
+                                         return_inverse=True)
+        U = max(bucket, ((len(uniq) + bucket - 1) // bucket) * bucket)
+        pad = U - len(uniq)
+        out = dict(batch)
+        out["query_uniq_ids"] = np.concatenate(
+            [uniq, np.broadcast_to(uniq[:1], (pad, uniq.shape[1]))])
+        out["query_uniq_valid"] = np.concatenate(
+            [batch["query_valid"][first],
+             np.broadcast_to(batch["query_valid"][first[:1]],
+                             (pad, q.shape[1]))])
+        out["query_gather"] = inverse.astype(np.int32).reshape(len(q))
+        return out
+
+    def test_collator_emission_roundtrip(self):
+        from gpv_tpu.datasets.loader import Collator
+        from gpv_tpu.text import WordPieceTokenizer
+        from gpv_tpu.text.vocab import AnswerVocab
+
+        col = Collator(AnswerVocab.debug(), WordPieceTokenizer.debug(),
+                       max_text_len=8, dedup_queries=True, dedup_bucket=2)
+        items = [{"task": "CocoVqa", "query": ["what is this", "show a dog",
+                                               "what is this"][i % 3],
+                  "answer": "cat", "image": np.zeros((4, 4, 3), np.float32)}
+                 for i in range(8)]
+        batch = col(items)
+        assert "query_uniq_ids" in batch
+        U = batch["query_uniq_ids"].shape[0]
+        assert U % 2 == 0 and U < 8
+        np.testing.assert_array_equal(
+            batch["query_uniq_ids"][batch["query_gather"]],
+            batch["query_ids"])
+        np.testing.assert_array_equal(
+            batch["query_uniq_valid"][batch["query_gather"]],
+            batch["query_valid"])
+
+    def test_collator_skips_when_no_saving(self):
+        from gpv_tpu.datasets.loader import Collator
+        from gpv_tpu.text import WordPieceTokenizer
+        from gpv_tpu.text.vocab import AnswerVocab
+
+        col = Collator(AnswerVocab.debug(), WordPieceTokenizer.debug(),
+                       max_text_len=8, dedup_queries=True, dedup_bucket=16)
+        items = [{"task": "CocoVqa", "query": f"question number {i}",
+                  "answer": "cat", "image": np.zeros((4, 4, 3), np.float32)}
+                 for i in range(8)]  # bucket 16 >= B: emission can't save
+        batch = col(items)
+        assert "query_uniq_ids" not in batch
+
+    @pytest.mark.parametrize("grad_accum", [1, 2])
+    def test_train_step_losses_match_plain(self, grad_accum):
+        model = tiny_gpv()
+        batch = make_batch(B=8)
+        # make rows actually repeat (3 distinct query rows across 8)
+        batch["query_ids"] = batch["query_ids"][
+            np.asarray([0, 1, 2, 0, 1, 2, 0, 1])]
+        variables = init_vars(model)
+        optimizer = build_optimizer(training_cfg(), 10, variables["params"])
+
+        def run(b):
+            state = create_train_state(variables, optimizer)
+            step = make_train_step(model, optimizer, LossConfig(), 0.1,
+                                   donate=False, grad_accum=grad_accum)
+            state, losses = step(state, jax.tree.map(jnp.asarray, b),
+                                 jax.random.PRNGKey(3))
+            return state, {k: float(v) for k, v in losses.items()}
+
+        state_p, plain = run(batch)
+        state_d, dedup = run(self._dedup_fields(batch))
+        for k in plain:
+            np.testing.assert_allclose(dedup[k], plain[k], rtol=2e-5,
+                                       atol=1e-6, err_msg=k)
+        # parameters after the step agree too (same gradients)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(state_p.params),
+                jax.tree_util.tree_leaves_with_path(state_d.params)):
+            assert pa == pb
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=jax.tree_util.keystr(pa))
