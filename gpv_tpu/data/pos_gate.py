@@ -1,0 +1,222 @@
+"""Deterministic POS decisions for the SCE orange/clock special cases.
+
+Behavior spec: reference `data/split_data_by_categories.py:73-95` runs
+spaCy (`en_core_web_sm`) over the lowercased `query [+ answer]` text and
+asks ONE question per special case:
+
+- orange (:75-82): is any "orange"/"oranges" token a NOUN?  If none is,
+  the category match is discarded ("what color is the cat -> orange"
+  must not tag the fruit category).
+- clock  (:83-94): is any "watch"/"watches" token a NOUN?  (A
+  sentence-FINAL watch/watches short-circuits to keep BEFORE this scan —
+  handled by the caller, `splits.AssignCocoCategories._remove_special`.)
+
+spaCy is not installable in this environment (no egress, not baked in),
+but the text this gate ever sees is a CLOSED domain: the fixed task
+query templates (`data/preprocess.py`), COCO VQA answers, and COCO
+captions — short, present-tense, picture-description English.  Over that
+domain, spaCy's NOUN-vs-ADJ (orange) and NOUN-vs-VERB (watch) decisions
+are governed by local context, so we vendor them as an explicit
+word + local-context decision table instead of a statistical tagger.
+Each rule below states the construction it covers and an example from
+the corpus; `tests/test_data_pipeline.py::TestPosGate` asserts the
+reference decisions on constructed positives/negatives, including the
+reference comments' own examples.
+
+Inputs are RAW lowercased word-tokenized text (NOT lemmatized): plural
+morphology ("oranges") and inflection ("watches") are themselves POS
+evidence, which lemmatization would destroy.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+# Tokens that introduce a noun phrase: a following "orange"/"watch" in
+# their scope is a nominal head unless an attributive reading fires
+# first ("an orange cat").
+_DETERMINERS = frozenset((
+    "a", "an", "the", "this", "that", "these", "those", "some", "any",
+    "no", "each", "every", "another", "other", "both", "few", "several",
+    "many", "much", "more", "most", "one", "two", "three", "four",
+    "five", "six", "seven", "eight", "nine", "ten",
+    "my", "your", "his", "her", "its", "our", "their", "whose", "of",
+))
+
+# Subjects/auxiliaries that put a following "watch" in verb position:
+# "do you watch tv", "they watch the game", "to watch".
+_VERB_TRIGGERS = frozenset((
+    "i", "you", "he", "she", "it", "we", "they", "people", "who",
+    "to", "can", "could", "will", "would", "shall", "should", "may",
+    "might", "must", "do", "does", "did", "don't", "doesn't", "didn't",
+    "cannot", "can't", "won't", "not", "n't", "and",
+))
+
+# Copulas/linkers whose complement "orange" is a predicate ADJECTIVE:
+# "the cat is orange", "the shirt looks orange", "walls painted orange".
+_COPULAS = frozenset((
+    "is", "are", "was", "were", "be", "being", "been", "looks", "look",
+    "appears", "appear", "seems", "seem", "turned", "turning",
+    "colored", "coloured", "painted", "dyed", "in",
+))
+
+# Compound heads where a preceding "orange" is a NOUN modifier (spaCy
+# parses these as noun-noun compounds, not ADJ+N: the modifier keeps
+# pos_ == NOUN): "orange juice", "orange peel".
+_ORANGE_COMPOUND_HEADS = frozenset((
+    "juice", "juices", "peel", "peels", "tree", "trees", "slice",
+    "slices", "grove", "groves", "rind", "zest", "segment", "segments",
+    "wedge", "wedges", "soda", "marmalade",
+))
+
+# Concrete objects/animals "orange" attributively modifies in COCO
+# captions and VQA answers ("an orange cat", "orange traffic cone").
+# ADJ reading.  Vendored from the COCO category list + the high-
+# frequency caption nouns the templates/answers can produce; compound
+# heads above take precedence.
+_ORANGE_ADJ_HEADS = frozenset((
+    # COCO categories (single-word forms + common plurals)
+    "person", "people", "bicycle", "bicycles", "car", "cars",
+    "motorcycle", "motorcycles", "airplane", "airplanes", "bus",
+    "buses", "train", "trains", "truck", "trucks", "boat", "boats",
+    "light", "lights", "hydrant", "hydrants", "sign", "signs",
+    "meter", "meters", "bench", "benches", "bird", "birds", "cat",
+    "cats", "dog", "dogs", "horse", "horses", "sheep", "cow", "cows",
+    "elephant", "elephants", "zebra", "zebras", "giraffe", "giraffes",
+    "backpack", "backpacks", "umbrella", "umbrellas", "handbag",
+    "handbags", "tie", "ties", "suitcase", "suitcases", "frisbee",
+    "frisbees", "skis", "snowboard", "snowboards", "ball", "balls",
+    "kite", "kites", "bat", "bats", "glove", "gloves", "skateboard",
+    "skateboards", "surfboard", "surfboards", "racket", "rackets",
+    "bottle", "bottles", "glass", "glasses", "cup", "cups", "fork",
+    "forks", "knife", "knives", "spoon", "spoons", "bowl", "bowls",
+    "banana", "bananas", "apple", "apples", "sandwich", "sandwiches",
+    "broccoli", "carrot", "carrots", "pizza", "pizzas", "donut",
+    "donuts", "cake", "cakes", "chair", "chairs", "couch", "couches",
+    "plant", "plants", "bed", "beds", "table", "tables", "toilet",
+    "toilets", "tv", "laptop", "laptops", "mouse", "remote", "remotes",
+    "keyboard", "keyboards", "phone", "phones", "microwave", "oven",
+    "ovens", "toaster", "sink", "sinks", "refrigerator", "book",
+    "books", "clock", "clocks", "vase", "vases", "scissors", "bear",
+    "bears", "drier", "dryer", "toothbrush", "toothbrushes",
+    # high-frequency caption/answer nouns
+    "shirt", "shirts", "jacket", "jackets", "hat", "hats", "vest",
+    "vests", "dress", "dresses", "coat", "coats", "cone", "cones",
+    "flower", "flowers", "wall", "walls", "roof", "roofs", "building",
+    "buildings", "flag", "flags", "color", "colors", "colour",
+    "colours", "fruit", "fruits", "food", "frosting", "icing", "tint",
+    "hue", "stripe", "stripes", "jersey", "jerseys", "uniform",
+    "uniforms", "helmet", "helmets", "background", "object", "objects",
+    "thing", "things", "one", "ones",
+))
+
+# Color words: "orange" coordinated with one of these is part of an
+# adjective conjunction ("an orange and white dog" -> ADJ).
+_COLORS = frozenset((
+    "white", "black", "brown", "red", "blue", "green", "yellow",
+    "purple", "pink", "gray", "grey", "tan", "gold", "golden",
+    "silver", "beige", "maroon", "teal", "cream", "dark", "light",
+    "striped",
+))
+
+# Direct objects / particles that put a preceding "watch(es)" in verb
+# position: "watch tv", "watch the game", "watch out".
+_WATCH_OBJECT_CUES = frozenset((
+    "tv", "television", "the", "a", "an", "this", "that", "these",
+    "those", "his", "her", "their", "my", "your", "its", "our", "some",
+    "it", "them", "him", "me", "us", "out", "over", "for", "movies",
+    "movie", "games", "game", "sports", "birds", "what", "where",
+))
+
+
+def orange_is_noun(tokens: Sequence[str], i: int) -> bool:
+    """Would spaCy tag tokens[i] ("orange"/"oranges") pos_ == NOUN?
+
+    Decision order (first match wins):
+      1. plural "oranges"                       -> NOUN  (NNS)
+      2. next token is a compound head          -> NOUN  ("orange juice")
+      3. next token is an attributive head      -> not   ("orange cat")
+      3b. coordinated/stacked with a color word -> not   ("orange and
+                                                          white dog")
+      4. previous token is a copula/linker      -> not   ("cat is orange")
+      5. previous token is a determiner/number  -> NOUN  ("what color is
+                                                          the orange" —
+                                                          the fruit IS
+                                                          the subject)
+      6. a color question precedes it           -> not   ("what color is
+                                                          the cat ->
+                                                          orange")
+      7. default                                -> NOUN  (bare nominal)
+    """
+    word = tokens[i]
+    nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+    prev = tokens[i - 1] if i > 0 else None
+    if word == "oranges":
+        # plural modifiers don't occur in this domain; NNS -> NOUN
+        return True
+    if nxt in _ORANGE_COMPOUND_HEADS:
+        return True
+    if nxt in _ORANGE_ADJ_HEADS:
+        return False
+    if nxt in ("and", "or") and i + 2 < len(tokens) and \
+            tokens[i + 2] in _COLORS:
+        # adjective conjunction: "an orange and white dog"
+        return False
+    if prev in _COLORS or (prev in ("and", "or") and i >= 2
+                           and tokens[i - 2] in _COLORS):
+        # "a white and orange cat", "a black orange ..." — coordinated
+        # or stacked color modifiers
+        return False
+    if prev in _COPULAS:
+        return False
+    if prev in _DETERMINERS:
+        return True
+    if "color" in tokens[:i] or "colour" in tokens[:i]:
+        # "what color is the cat orange" (query + ' ' + answer): the
+        # appended bare answer parses as the question's complement ADJ
+        return False
+    return True
+
+
+def watch_is_noun(tokens: Sequence[str], i: int) -> bool:
+    """Would spaCy tag tokens[i] ("watch"/"watches") pos_ == NOUN?
+
+    Decision order (first match wins):
+      1. previous token is a determiner/number  -> NOUN  ("a watch",
+                                                          "two watches")
+      2. previous token is a subject/aux/"to"   -> VERB  ("do you watch",
+                                                          "to watch")
+      3. next token is an object/particle cue   -> VERB  ("watch tv",
+                                                          "watch the
+                                                          game")
+      4. "watches" with a bare-noun subject     -> VERB  ("the man
+                                                          watches")
+      5. default                                -> NOUN
+    """
+    word = tokens[i]
+    nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+    prev = tokens[i - 1] if i > 0 else None
+    if prev in _DETERMINERS:
+        return True
+    if prev in _VERB_TRIGGERS:
+        return False
+    if nxt in _WATCH_OBJECT_CUES:
+        return False
+    if word == "watches" and prev is not None and prev not in _COPULAS:
+        # 3rd-person-singular inflection after a subject: "the man
+        # watches ..." (determiner directly before was caught by rule 1)
+        return False
+    return True
+
+
+def any_orange_noun(raw_tokens: List[str]) -> bool:
+    """Reference :75-82 — True iff ANY orange/oranges token is a NOUN."""
+    return any(orange_is_noun(raw_tokens, i)
+               for i, w in enumerate(raw_tokens)
+               if w in ("orange", "oranges"))
+
+
+def any_watch_noun(raw_tokens: List[str]) -> bool:
+    """Reference :88-94 — True iff ANY watch/watches token is a NOUN."""
+    return any(watch_is_noun(raw_tokens, i)
+               for i, w in enumerate(raw_tokens)
+               if w in ("watch", "watches"))

@@ -11,9 +11,11 @@ unseen categories are dropped).
 Divergence note (PARITY.md #5): lemmatization is now the EXACT WordNet
 morphy noun algorithm over a vendored lexicon (`gpv_tpu.data.morphy` — it
 agrees with the reference's WordNetLemmatizer on every decision that can
-touch the synonym table). The remaining divergence is ONLY the spaCy POS
-tag used by the orange/clock special cases, replaced by the positional
-heuristics in `_looks_like_noun`.
+touch the synonym table). The spaCy POS tag used by the orange/clock
+special cases is a vendored word+local-context decision table
+(`gpv_tpu.data.pos_gate`) covering the closed query-template/COCO-answer/
+caption domain the gate ever sees — see that module's docstring for the
+rule-by-rule derivation and tests.
 """
 from __future__ import annotations
 
@@ -24,6 +26,7 @@ from typing import Dict, List
 
 from ..text.treebank import word_tokenize
 from .morphy import build_lexicon, lemmatize_noun as lemmatize  # noqa: F401
+from .pos_gate import any_orange_noun, any_watch_noun
 
 
 def split_categories(categories: List[Dict], seed: int = 0,
@@ -87,24 +90,16 @@ class AssignCocoCategories:
         return any(haystack[i:i + n] == needle
                    for i in range(len(haystack) - n + 1))
 
-    def _looks_like_noun(self, tokens: List[str], idx: int) -> bool:
-        """Heuristic POS check (spaCy replacement): treat as noun unless it
-        trails the sentence as a verb-ish position or directly follows a
-        color-question pattern."""
-        if idx + 1 < len(tokens) and tokens[idx + 1] in (
-                "juice", "peel", "tree", "slice"):
-            return True
-        if "color" in tokens or "colour" in tokens:
-            return False
-        if idx == len(tokens) - 1 and idx > 0 and tokens[idx - 1] in (
-                "to", "you", "they", "i", "we", "people"):
-            return False  # e.g. "do you watch"
-        return True
-
     def _remove_special(self, name: str, appearance: str,
-                        tokens: List[str]) -> bool:
+                        tokens: List[str], text: str) -> bool:
         """True => discard this match (reference `remove_special`
-        semantics, split_data_by_categories.py:44-95)."""
+        semantics, split_data_by_categories.py:44-95).
+
+        `tokens` are the lemmatized match tokens (the dog/bear/cup gates
+        run on these, as upstream); `text` is the RAW sample text — the
+        orange/clock POS gates tokenize `text.lower()` themselves, like
+        the reference's `nlp(text.lower())` (:76,:84), because plural/
+        inflection morphology is POS evidence the lemmatizer destroys."""
         idxs = [i for i, w in enumerate(tokens) if w == appearance]
         # discard iff the FIRST appearance is preceded by the blocker word
         # (reference returns on the first index either way)
@@ -123,14 +118,16 @@ class AssignCocoCategories:
                 return i > 0 and tokens[i - 1] in ("wear", "wearing")
             return False
         if name == "orange":
-            return not any(self._looks_like_noun(tokens, i) for i in idxs)
+            # discard iff NO orange/oranges token is a noun (:75-82)
+            return not any_orange_noun(word_tokenize(text.lower()))
         if name == "clock" and appearance in ("watch", "watches"):
-            if tokens and tokens[-1] in ("watch", "watches"):
-                # sentence-FINAL "watch" is a noun -> KEEP the category
-                # (reference split_data_by_categories.py:86-88 returns
-                # False before the POS scan; this was inverted here)
+            raw = word_tokenize(text.lower())
+            if raw and raw[-1] in ("watch", "watches"):
+                # sentence-FINAL "watch" -> KEEP the category (reference
+                # :86-88 returns False before the POS scan)
                 return False
-            return not any(self._looks_like_noun(tokens, i) for i in idxs)
+            # discard iff NO watch/watches token is a noun (:88-94)
+            return not any_watch_noun(raw)
         return False
 
     def assign(self, sample: Dict) -> List[Dict]:
@@ -144,7 +141,7 @@ class AssignCocoCategories:
                 if self._is_subsequence(syn, tokens):
                     if category["name"] in self.SPECIAL and \
                             self._remove_special(category["name"], syn[0],
-                                                 tokens):
+                                                 tokens, text):
                         break
                     assigned.append(category)
                     break

@@ -111,16 +111,73 @@ class TestSplits:
         """Reference remove_special (split_data_by_categories.py:84-94):
         a sentence ENDING in watch/watches KEEPS the clock category —
         before any POS scan. This was inverted here until round 3.
-        (Mid-sentence verb uses like 'do you watch tv at home' remain the
-        documented spaCy-POS residual divergence, PARITY.md #5: real POS
-        tags the verb and discards; the positional heuristic keeps it.)"""
+        Mid-sentence uses go through the vendored POS decision table
+        (gpv_tpu.data.pos_gate, r4): verb uses discard, noun uses keep."""
         syn = coco_synonyms()
         cats = [{"id": 85, "name": "clock"}]
         a = AssignCocoCategories(cats, syn)
         for q in ("what time is on the watch", "do you watch",
-                  "locate the watches"):
+                  "locate the watches", "is he wearing a gold watch"):
             got = [c["name"] for c in a.assign({"query": q})]
             assert got == ["clock"], q
+        # mid-sentence VERB uses now discard, matching the reference POS
+        # scan (spaCy tags these VERB; :88-94 returns True => remove)
+        for q in ("do you watch tv at home", "they watch birds outside",
+                  "the man watches the game on sunday"):
+            got = [c["name"] for c in a.assign({"query": q})]
+            assert got == [], q
+
+    def test_orange_special_case_matches_reference(self):
+        """Reference remove_special (:73-82): discard the orange category
+        unless some orange/oranges token is a NOUN. Constructed
+        positives/negatives incl. the reference comment's own example
+        ('what color --> orange')."""
+        syn = coco_synonyms()
+        cats = [{"id": 55, "name": "orange"}]
+        a = AssignCocoCategories(cats, syn)
+        keep = ("an orange on the table",
+                "how many oranges are in the bowl",
+                "a glass of orange juice",
+                "what color is the orange",  # the fruit is the subject
+                "peeling an orange")
+        for q in keep:
+            got = [c["name"] for c in a.assign({"query": q})]
+            assert got == ["orange"], q
+        # answers ride through assign() as query + ' ' + answer
+        got = [c["name"] for c in a.assign(
+            {"query": "what fruit is on the plate", "answer": "orange"})]
+        assert got == ["orange"]
+        drop = ("is there an orange cat",
+                "the shirt is orange",
+                "an orange and white dog")
+        for q in drop:
+            got = [c["name"] for c in a.assign({"query": q})]
+            assert got == [], q
+        got = [c["name"] for c in a.assign(
+            {"query": "what color is the cat", "answer": "orange"})]
+        assert got == []
+
+    def test_pos_gate_decision_table(self):
+        """Unit-level checks of the vendored spaCy decision table."""
+        from gpv_tpu.data.pos_gate import any_orange_noun, any_watch_noun
+        from gpv_tpu.text.treebank import word_tokenize
+
+        def orange(s):
+            return any_orange_noun(word_tokenize(s.lower()))
+
+        def watch(s):
+            return any_watch_noun(word_tokenize(s.lower()))
+
+        assert orange("two oranges sit on a plate")
+        assert orange("orange juice in a glass")        # compound NOUN
+        assert not orange("an orange frisbee")          # attributive ADJ
+        assert not orange("the walls are painted orange")
+        assert orange("she is eating an orange")        # determiner
+        assert watch("a silver watch on his wrist")
+        assert not watch("people watch the game")
+        assert not watch("he likes to watch television")
+        assert not watch("she watches birds")
+        assert watch("the watches are on display")
 
     def test_split_data_drops_unseen_train_samples(self):
         syn = coco_synonyms()
