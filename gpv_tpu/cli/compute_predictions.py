@@ -56,7 +56,8 @@ def main(argv=None):
             engine, dataset, task, int(cfg.eval.batch_size), eval_dir,
             subset, data_split, cfg.eval.get("num_eval_batches"),
             beam_size=int(beam_size) if beam_size else None,
-            num_workers=int(cfg.eval.get("num_workers", 8)))
+            num_workers=int(cfg.eval.get("num_workers", 8)),
+            loader=str(cfg.eval.get("loader", "threads")))
     else:
         # re-evaluate previously written predictions (reference
         # compute_predictions honors eval.predict=False the same way)

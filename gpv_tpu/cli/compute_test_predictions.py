@@ -44,7 +44,9 @@ def main(argv=None):
         compute_vqa_test_predictions(engine, ds, int(cfg.eval.batch_size),
                                      out,
                                      num_workers=int(
-                                         cfg.eval.get("num_workers", 8)))
+                                         cfg.eval.get("num_workers", 8)),
+                                     loader=str(
+                                         cfg.eval.get("loader", "threads")))
     else:
         ds = CocoCapTestOriginalSplit(cfg.task_configs.coco_captioning,
                                       subset)
@@ -52,7 +54,9 @@ def main(argv=None):
         compute_cap_test_predictions(engine, ds, int(cfg.eval.batch_size),
                                      out,
                                      num_workers=int(
-                                         cfg.eval.get("num_workers", 8)))
+                                         cfg.eval.get("num_workers", 8)),
+                                     loader=str(
+                                         cfg.eval.get("loader", "threads")))
     print(f"wrote {out}")
 
 

@@ -23,7 +23,8 @@ from ..evaluation.evaluators import (EVALUATOR_CLASSES, TASK_TO_ID_FIELD,
 
 
 def iter_padded_batches(dataset, batch_size: int, max_samples=None,
-                        num_workers: int = 0, prefetch: int = 2):
+                        num_workers: int = 0, prefetch: int = 2,
+                        loader: str = "threads"):
     """Yield (items, n_real) with len(items) == batch_size for EVERY batch.
 
     The final partial batch is padded by repeating its last item — the same
@@ -31,15 +32,31 @@ def iter_padded_batches(dataset, batch_size: int, max_samples=None,
     dataset regardless of divisibility (a trailing odd-size batch would
     otherwise trigger a second XLA compile per task).
 
-    num_workers > 1 loads items on a thread pool with a `prefetch`-batch
-    lookahead, overlapping host image decode/resize (PIL releases the GIL)
-    with device compute — single-threaded PIL decode alone caps eval at a
-    few hundred img/s, below the device rate (reference eval uses a
-    num_workers dataloader, train_distr.py:213-222; this is the eval-side
-    `eval.num_workers`). Each item draws from its own index-seeded
-    RandomState, so results are identical for ANY worker count/order
-    (eval-mode datasets don't consume the rng anyway — transforms are
-    resize-only and VQA answer resampling is training-only).
+    num_workers > 1 loads items on a worker pool with a `prefetch`-batch
+    lookahead, overlapping host image decode/resize with device compute —
+    single-threaded PIL decode alone caps eval at a few hundred img/s,
+    below the device rate (reference eval uses a num_workers dataloader,
+    train_distr.py:213-222; this is the eval-side `eval.num_workers`).
+    `loader` picks the pool (`eval.loader`):
+
+    - "threads": ThreadPoolExecutor. PIL/numpy release the GIL for the
+      heavy work, so this scales with cores when the GIL-held share per
+      item is small.
+    - "processes": fork-based ProcessPoolExecutor, one BATCH per task;
+      workers stack the batch's images into a SharedMemory block and send
+      only its name + the light fields over the pipe, so the uint8 pixels
+      are never pickled. Immune to GIL-held host code (pure-Python
+      transforms, stricter parity paths); fork start means the dataset
+      need not be picklable. The shm block backing a yielded batch is
+      freed when the NEXT batch is requested — consumers must not retain
+      image views across iterations (the eval loop device_puts
+      immediately).
+
+    Each item draws from its own index-seeded RandomState, so results are
+    identical for ANY worker count/order/pool kind (eval-mode datasets
+    don't consume the rng anyway — transforms are resize-only and VQA
+    answer resampling is training-only; asserted in
+    tests/test_e2e.py::test_eval_loader_modes_identical).
     """
     n = len(dataset) if max_samples is None else min(len(dataset),
                                                      max_samples)
@@ -54,7 +71,14 @@ def iter_padded_batches(dataset, batch_size: int, max_samples=None,
             items.append(items[-1])
         return items, n_real
 
-    if num_workers and int(num_workers) > 1:
+    if loader not in ("threads", "processes"):
+        raise ValueError(f"eval.loader must be threads|processes, "
+                         f"got {loader!r}")
+    if loader == "processes" and num_workers and int(num_workers) > 1:
+        yield from _iter_batches_procs(dataset, starts, n, batch_size,
+                                       int(num_workers),
+                                       max(1, int(prefetch)), pad)
+    elif num_workers and int(num_workers) > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(int(num_workers)) as pool:
             depth = max(1, int(prefetch))
@@ -76,6 +100,106 @@ def iter_padded_batches(dataset, batch_size: int, max_samples=None,
                        for i in range(start, min(start + batch_size, n))])
 
 
+# ---- process-pool batch loading (eval.loader=processes) ----
+
+_PROC_DATASET = None  # set in each forked worker by _proc_init
+
+
+def _proc_init(dataset):
+    global _PROC_DATASET
+    _PROC_DATASET = dataset
+
+
+def _proc_load_range(s, e):
+    """Load items [s, e) in a worker; return (shm meta, light items).
+
+    The batch's images are stacked into ONE SharedMemory block (uint8 at
+    480x640 eval dims: ~18 MB/batch at B=20) and stripped from the item
+    dicts, so only the block NAME plus the light fields cross the IPC
+    pipe. Ownership transfers to the parent: the worker unregisters the
+    block from its own resource tracker (else the tracker double-unlinks
+    at worker exit) and the parent unlinks after consumption."""
+    from multiprocessing import shared_memory
+
+    items = [_PROC_DATASET.get(i, np.random.RandomState(i))
+             for i in range(s, e)]
+    if not items or "image" not in items[0]:
+        return None, items
+    stack = np.stack([it.pop("image") for it in items])
+    shm = shared_memory.SharedMemory(create=True, size=stack.nbytes)
+    np.ndarray(stack.shape, stack.dtype, buffer=shm.buf)[:] = stack
+    meta = (shm.name, stack.shape, str(stack.dtype))
+    try:  # transfer ownership to the parent (CPython tracker wart)
+        from multiprocessing import resource_tracker
+        resource_tracker.unregister(shm._name, "shared_memory")
+    except Exception:
+        pass
+    shm.close()
+    return meta, items
+
+
+def _iter_batches_procs(dataset, starts, n, batch_size, num_workers,
+                        prefetch, pad):
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+    from multiprocessing import shared_memory
+
+    if "fork" not in mp.get_all_start_methods():
+        raise RuntimeError(
+            "eval.loader=processes needs the fork start method (workers "
+            "inherit the dataset without pickling); use loader=threads "
+            "on this platform")
+    ctx = mp.get_context("fork")
+
+    def attach(meta, items):
+        if meta is None:
+            return items, None
+        name, shape, dtype = meta
+        shm = shared_memory.SharedMemory(name=name)
+        arr = np.ndarray(shape, np.dtype(dtype), buffer=shm.buf)
+        for j, it in enumerate(items):
+            it["image"] = arr[j]
+        return items, shm
+
+    def release(shm):
+        if shm is not None:
+            shm.close()
+            shm.unlink()
+
+    live = None  # shm backing the batch the consumer currently holds
+    pending = []
+    with ProcessPoolExecutor(num_workers, mp_context=ctx,
+                             initializer=_proc_init,
+                             initargs=(dataset,)) as pool:
+        try:
+            depth = num_workers + prefetch
+            pending = [pool.submit(_proc_load_range, s,
+                                   min(s + batch_size, n))
+                       for s in starts[:depth]]
+            for bi in range(len(starts)):
+                meta, items = pending.pop(0).result()
+                if bi + depth < len(starts):
+                    s = starts[bi + depth]
+                    pending.append(pool.submit(_proc_load_range, s,
+                                               min(s + batch_size, n)))
+                items, shm = attach(meta, items)
+                release(live)  # consumer moved on from the previous batch
+                live = shm
+                yield pad(items)
+        finally:
+            release(live)
+            # a consumer abandoning the generator mid-epoch leaves
+            # worker-created blocks (ownership already transferred to
+            # this process) orphaned in /dev/shm — drain and unlink
+            for f in pending:
+                try:
+                    meta, _ = f.result()
+                    if meta is not None:
+                        release(shared_memory.SharedMemory(name=meta[0]))
+                except Exception:
+                    pass
+
+
 def update_samples_with_image_size(image_dir, samples):
     from ..datasets.coco import coco_image_path
     from PIL import Image
@@ -92,14 +216,14 @@ def make_predictions(engine: GPVEngine, dataset, task: str,
                      data_split: str = "gpv_split",
                      num_eval_batches: Optional[int] = None,
                      beam_size: Optional[int] = None,
-                     num_workers: int = 0):
+                     num_workers: int = 0, loader: str = "threads"):
     """Run batched inference over a dataset; write HDF5 + JSON.
 
     `beam_size`: None/1 -> greedy (reference compute_predictions); K>1 ->
     batched beam search, keeping the top beam as the answer (BASELINE
     config #4: VQA/captioning with beam_size=5).
-    `num_workers`: threaded image loading with batch lookahead
-    (eval.num_workers; see iter_padded_batches).
+    `num_workers`/`loader`: pooled image loading with batch lookahead
+    (eval.num_workers / eval.loader; see iter_padded_batches).
 
     Returns (predictions dict, boxes path, predictions path).
     """
@@ -119,7 +243,7 @@ def make_predictions(engine: GPVEngine, dataset, task: str,
     cnt = 0
     for bi, (items, n_real) in enumerate(
             iter_padded_batches(dataset, batch_size,
-                                num_workers=num_workers)):
+                                num_workers=num_workers, loader=loader)):
         if num_eval_batches is not None and bi >= num_eval_batches:
             break
         images = np.stack([it["image"] for it in items])
@@ -181,12 +305,14 @@ def evaluate_predictions(task: str, samples, predictions, boxes_path,
 
 
 def compute_vqa_test_predictions(engine, dataset, batch_size,
-                                 out_path, num_workers: int = 0) -> list:
+                                 out_path, num_workers: int = 0,
+                                 loader: str = "threads") -> list:
     """Eval-server format: [{'question_id', 'answer'}] (reference
     compute_vqa_test_predictions.py:29-67)."""
     results = []
     for items, n_real in iter_padded_batches(dataset, batch_size,
-                                             num_workers=num_workers):
+                                             num_workers=num_workers,
+                                             loader=loader):
         images = np.stack([it["image"] for it in items])
         outs = engine.predict(images, [it["query"] for it in items])
         for it, out in zip(items[:n_real], outs[:n_real]):
@@ -197,12 +323,14 @@ def compute_vqa_test_predictions(engine, dataset, batch_size,
 
 
 def compute_cap_test_predictions(engine, dataset, batch_size,
-                                 out_path, num_workers: int = 0) -> list:
+                                 out_path, num_workers: int = 0,
+                                 loader: str = "threads") -> list:
     """Eval-server format: [{'image_id', 'caption'}] (reference
     compute_cap_test_predictions.py:85-113)."""
     results = []
     for items, n_real in iter_padded_batches(dataset, batch_size,
-                                             num_workers=num_workers):
+                                             num_workers=num_workers,
+                                             loader=loader):
         images = np.stack([it["image"] for it in items])
         outs = engine.predict(images, [it["query"] for it in items])
         for it, out in zip(items[:n_real], outs[:n_real]):

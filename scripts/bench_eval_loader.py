@@ -1,15 +1,19 @@
-"""Offline-eval loader throughput: sequential vs threaded (eval.num_workers).
+"""Offline-eval loader throughput: sequential vs threads vs processes.
 
 Measures `iter_padded_batches` item throughput over a synthetic on-disk
 image set (JPEG decode + resize per item — the host work the eval loop
-pays per image). PIL decode/resize release the GIL, so workers scale with
-CORES; on this 1-vCPU dev box the threaded path mostly demonstrates
-overlap-not-slowdown, and per-core numbers extrapolate to real eval hosts
-(the reference uses a num_workers torch DataLoader for the same reason,
-train_distr.py:213-222).
+pays per image). PIL decode/resize release the GIL, so threads scale with
+CORES when per-item Python overhead is small; `loader=processes`
+(fork pool + shared-memory image blocks, eval.loader) is the fallback
+when host transforms hold the GIL. On this 1-vCPU dev box both pooled
+paths mostly demonstrate overlap-not-slowdown, and per-core numbers
+extrapolate to real eval hosts (the reference uses a num_workers torch
+DataLoader for the same reason, train_distr.py:213-222).
 
 Usage: python scripts/bench_eval_loader.py [n=256] [workers=0,4,8]
-Prints one JSON line per worker count.
+                                           [loaders=threads,processes]
+Prints one JSON line per (loader, worker count); workers=0 rows are the
+sequential baseline and run once.
 """
 import json
 import sys
@@ -57,18 +61,27 @@ def main():
         files.append(str(p))
     ds = _DiskImageDataset([files[i % len(files)] for i in range(n)])
 
-    for nw in workers:
-        # warm one pass to fault in files/page cache
-        next(iter_padded_batches(ds, 16, max_samples=16, num_workers=nw))
-        t0 = time.perf_counter()
-        items = 0
-        for batch, n_real in iter_padded_batches(ds, 16, num_workers=nw):
-            items += n_real
-        dt = time.perf_counter() - t0
-        print(json.dumps({"num_workers": nw, "items": items,
-                          "img_per_sec": round(items / dt, 1),
-                          "ms_per_img": round(1000 * dt / items, 2)}),
-              flush=True)
+    loaders = args.get("loaders", "threads,processes").split(",")
+    for loader in loaders:
+        for nw in workers:
+            if nw == 0 and loader != loaders[0]:
+                continue  # sequential baseline is loader-independent
+            # warm one pass to fault in files/page cache (and fork the
+            # process pool outside the timed region, like a real run)
+            next(iter_padded_batches(ds, 16, max_samples=16,
+                                     num_workers=nw, loader=loader))
+            t0 = time.perf_counter()
+            items = 0
+            for batch, n_real in iter_padded_batches(ds, 16,
+                                                     num_workers=nw,
+                                                     loader=loader):
+                items += n_real
+            dt = time.perf_counter() - t0
+            print(json.dumps({"loader": loader if nw else "sequential",
+                              "num_workers": nw, "items": items,
+                              "img_per_sec": round(items / dt, 1),
+                              "ms_per_img": round(1000 * dt / items, 2)}),
+                  flush=True)
 
 
 if __name__ == "__main__":

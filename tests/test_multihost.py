@@ -1,7 +1,8 @@
-"""Multi-host data parallelism: a REAL 2-process jax.distributed cluster on
-localhost (2 procs x 4 virtual CPU devices = 8-device global mesh), the
-multi-host substitute for multi-node testing (SURVEY.md §4). The gradient
-reduction crosses process boundaries through actual collectives (Gloo).
+"""Multi-host data parallelism: REAL jax.distributed clusters on localhost
+(2 procs x 4 virtual CPU devices and 4 procs x 2 = 8-device global mesh),
+the multi-host substitute for multi-node testing (SURVEY.md §4). The
+gradient reduction crosses process boundaries through actual collectives
+(Gloo).
 
 The reference is single-node only (num_nodes: 1); this validates the
 framework's beyond-reference multi-host path: `initialize_distributed` +
@@ -89,23 +90,17 @@ class TestMultiHostTrainStep:
 
 @pytest.mark.slow
 class TestMultiHostTrainer:
-    def test_two_process_full_trainer_epoch(self, tmp_path):
-        """The FULL Trainer survives a 2-process cluster end to end:
-        launch eval + vis (rank 0, rank-local host weights), 3 sharded
-        train steps (cross-process grad collectives), rolling rank-0-only
-        orbax ckpt, final eval over post-step GLOBAL params behind the
-        end-of-train barrier. Rank 1 must exit 0 without hanging — the
-        round-2 verdict's missing #2 (a single-process jit dispatch over
-        global arrays deadlocks; _eval_variables materializes the local
-        replica first)."""
+    def _run_cluster(self, tmp_path, nproc, ndev, port_base):
+        """Launch an nproc-process trainer cluster; return per-rank logs
+        after asserting rc=0, step-count agreement, and rank-0 artifacts."""
         from _fake_data import make_fake_data
         make_fake_data(tmp_path / "data")
-        port = 12392 + (os.getpid() % 499) * 2
+        port = port_base + (os.getpid() % 499) * 2
         procs = [subprocess.Popen(
             [sys.executable, str(REPO / "tests/_mh_trainer_worker.py"),
-             str(i), str(port), str(tmp_path)],
+             str(i), str(port), str(tmp_path), str(nproc), str(ndev)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-            for i in range(2)]
+            for i in range(nproc)]
         outs = []
         for p in procs:
             try:
@@ -120,16 +115,35 @@ class TestMultiHostTrainer:
         for i, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"proc {i}:\n{out[-4000:]}"
         m0 = re.search(r"MH_TRAIN p0 sel=([-0-9.]+) step=(\d+)", outs[0])
-        m1 = re.search(r"MH_TRAIN p1 done step=(\d+)", outs[1])
         assert m0, outs[0][-2000:]
-        assert m1, outs[1][-2000:]
         assert np.isfinite(float(m0.group(1)))
-        # both ranks took the same number of sharded steps
-        assert m0.group(2) == m1.group(1) == "3"
-        # rank 0 wrote the artifacts; rank 1 wrote none
+        # every non-main rank finished the same number of sharded steps
+        for i in range(1, nproc):
+            mi = re.search(rf"MH_TRAIN p{i} done step=(\d+)", outs[i])
+            assert mi, outs[i][-2000:]
+            assert m0.group(2) == mi.group(1) == "3"
+        # rank 0 wrote the artifacts; other ranks wrote none
         exp = tmp_path / "exp" / "e2e"  # {output_dir}/{exp_name}
         assert (exp / "ckpts/last.meta.json").exists()
         assert list(exp.glob("training_visualizations/*/index.html"))
+        return outs
+
+    def test_two_process_full_trainer_epoch(self, tmp_path):
+        """The FULL Trainer survives a 2-process cluster end to end:
+        launch eval + vis (rank 0, rank-local host weights), 3 sharded
+        train steps (cross-process grad collectives), rolling rank-0-only
+        orbax ckpt, final eval over post-step GLOBAL params behind the
+        end-of-train barrier. Rank 1 must exit 0 without hanging — the
+        round-2 verdict's missing #2 (a single-process jit dispatch over
+        global arrays deadlocks; _eval_variables materializes the local
+        replica first)."""
+        self._run_cluster(tmp_path, nproc=2, ndev=4, port_base=12392)
+
+    def test_four_process_full_trainer_epoch(self, tmp_path):
+        """VERDICT r3 #7: >1 non-main rank must idle correctly at the
+        eval/vis/ckpt barriers, and the loader's shard math must hold at
+        4-way process sharding (2 rows of each global batch per rank)."""
+        self._run_cluster(tmp_path, nproc=4, ndev=2, port_base=13418)
 
 
 class TestLoaderSharding:
