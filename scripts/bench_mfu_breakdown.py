@@ -156,10 +156,42 @@ def main():
         return total + sum(jnp.sum(g.astype(jnp.float32))
                            for g in jax.tree.leaves(grads))
 
+    # --- r4 additions: isolate the criterion (matcher + all 6 loss terms,
+    # model outputs traced as INPUTS) and the model-only fwd+bwd (surrogate
+    # sum loss), so criterion cost = full - surrogate cross-checks against
+    # the direct measurement; plus the dedup'd BERT (training.query_dedup)
+    def criterion_only(outputs, batch, rng):
+        total, _ = gpv_criterion(outputs, batch, cfg)
+        return total + _rng_eps(rng)
+
+    def fwd_bwd_surrogate(variables, batch, rng):
+        def loss_fn(params):
+            v = {"params": params, "batch_stats": variables["batch_stats"]}
+            out = _fwd_out(v, batch, rng)
+            return sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree.leaves(out))
+        total, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        return total + sum(jnp.sum(g.astype(jnp.float32))
+                           for g in jax.tree.leaves(grads))
+
+    U = 64  # measured unique-query bucket at B=120 (bench_train_step)
+
+    def bert_fwd_dedup(bert_vars, batch, rng):
+        out = bert.apply(bert_vars, batch["query_ids"][:U])
+        gathered = jnp.take(out, jnp.arange(batch["query_ids"].shape[0]) % U,
+                            axis=0)
+        return jnp.sum(gathered.astype(jnp.float32)) + _rng_eps(rng)
+
     report("bert_fwd", bert_fwd, bert_vars, batch, rng)
+    if B > U:
+        report(f"bert_fwd_dedup_u{U}", bert_fwd_dedup, bert_vars, batch, rng)
     report("resnet_fwd", resnet_fwd, res_vars, batch, rng)
     report("resnet_fwd_bwd", resnet_fwd_bwd, res_vars, batch, rng)
     report("full_fwd", fwd, variables, batch, rng)
+    outputs = jax.jit(_fwd_out)(variables, batch, rng)
+    report("criterion_only", criterion_only, outputs, batch, rng)
+    report("full_fwd_bwd_surrogate", fwd_bwd_surrogate, variables, batch,
+           rng)
     report("full_fwd_bwd_loss", fwd_bwd, variables, batch, rng)
 
 
