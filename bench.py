@@ -161,6 +161,11 @@ def main():
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / PYTORCH_BASELINE_IMG_PER_SEC, 2),
+        # the denominator is the ANALYTIC 45 img/s estimate (BASELINE.md
+        # "baseline denominator" — conservative/high; never measured on a
+        # real GPU in this environment), stated here so the artifact
+        # carries its own caveat
+        "baseline_estimated": True,
     }))
 
 
