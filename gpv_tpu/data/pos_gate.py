@@ -43,12 +43,15 @@ _DETERMINERS = frozenset((
 ))
 
 # Subjects/auxiliaries that put a following "watch" in verb position:
-# "do you watch tv", "they watch the game", "to watch".
+# "do you watch tv", "they watch the game", "to watch". NOTE "and" is NOT
+# here: coordination is ambiguous ("a hat and watch" = noun conjunct,
+# "sit and watch" = verb conjunct) and resolved by the conjunct rule in
+# watch_is_noun, which looks at the word BEFORE the "and".
 _VERB_TRIGGERS = frozenset((
     "i", "you", "he", "she", "it", "we", "they", "people", "who",
     "to", "can", "could", "will", "would", "shall", "should", "may",
     "might", "must", "do", "does", "did", "don't", "doesn't", "didn't",
-    "cannot", "can't", "won't", "not", "n't", "and",
+    "cannot", "can't", "won't", "not", "n't",
 ))
 
 # Copulas/linkers whose complement "orange" is a predicate ADJECTIVE:
@@ -107,7 +110,16 @@ _ORANGE_ADJ_HEADS = frozenset((
     "hue", "stripe", "stripes", "jersey", "jerseys", "uniform",
     "uniforms", "helmet", "helmets", "background", "object", "objects",
     "thing", "things", "one", "ones",
+    # person nouns (watch's subject rule needs them; 'orange man' is a
+    # fine ADJ reading too)
+    "man", "men", "woman", "women", "boy", "boys", "girl", "girls",
+    "child", "children", "kid", "kids", "lady", "ladies", "guy", "guys",
+    "player", "players",
 ))
+
+# The same list doubles as the common-noun lexicon for the watch rules
+# (noun-conjunct and noun-subject detection).
+_COMMON_NOUNS = _ORANGE_ADJ_HEADS
 
 # Color words: "orange" coordinated with one of these is part of an
 # adjective conjunction ("an orange and white dog" -> ADJ).
@@ -183,12 +195,22 @@ def watch_is_noun(tokens: Sequence[str], i: int) -> bool:
     Decision order (first match wins):
       1. previous token is a determiner/number  -> NOUN  ("a watch",
                                                           "two watches")
+      1b. previous token is a color/material or
+          adjective-like modifier               -> NOUN  ("a gold watch",
+                                                          "two gold
+                                                          watches")
       2. previous token is a subject/aux/"to"   -> VERB  ("do you watch",
                                                           "to watch")
+      2b. "and"-conjunct: decided by the word
+          BEFORE the "and" — noun conjunct vs
+          verb conjunct                         -> NOUN  ("a hat and
+                                                          watch"); VERB
+                                                          ("sit and
+                                                          watch")
       3. next token is an object/particle cue   -> VERB  ("watch tv",
                                                           "watch the
                                                           game")
-      4. "watches" with a bare-noun subject     -> VERB  ("the man
+      4. "watches" with a noun/pronoun subject  -> VERB  ("the man
                                                           watches")
       5. default                                -> NOUN
     """
@@ -197,13 +219,22 @@ def watch_is_noun(tokens: Sequence[str], i: int) -> bool:
     prev = tokens[i - 1] if i > 0 else None
     if prev in _DETERMINERS:
         return True
+    if prev in _COLORS:
+        return True
     if prev in _VERB_TRIGGERS:
         return False
+    if prev == "and":
+        # conjunction: "a hat and watch" coordinates nouns (the conjunct
+        # before the "and" is a noun); "sit and watch" coordinates verbs
+        before = tokens[i - 2] if i >= 2 else None
+        return before in _COMMON_NOUNS or before in _DETERMINERS or \
+            before in ("watch", "watches", "clock", "clocks")
     if nxt in _WATCH_OBJECT_CUES:
         return False
-    if word == "watches" and prev is not None and prev not in _COPULAS:
+    if word == "watches" and (prev in _COMMON_NOUNS or
+                              prev in ("he", "she", "it", "who")):
         # 3rd-person-singular inflection after a subject: "the man
-        # watches ..." (determiner directly before was caught by rule 1)
+        # watches ..." (determiner/color directly before was caught above)
         return False
     return True
 

@@ -6,7 +6,7 @@ SCE category assignment, plus a generator (`data/coco/coco_synonyms.py`)
 that seeds candidates before curation. The generator's executed pipeline
 (:49-62) is: WordNet lemma names over ALL synsets of the class name →
 underscores to spaces, lowercased → add the class name itself → merge the
-17-entry hand ALIASES table → for every multiword synonym also add the
+16-entry hand ALIASES table → for every multiword synonym also add the
 concatenated and hyphenated spellings. NOTE the PyDictionary lookup is
 commented out in the reference itself (`:50` — `#set(dictionary.synonym(
 category))`), so WordNet + ALIASES IS full parity with the executed code;

@@ -34,13 +34,16 @@ class Collator:
         self.max_query_len = max_query_len
         self.max_target_boxes = max_target_boxes
         self.answering_type = answering_type
-        # dedup_queries: also emit the batch's UNIQUE query rows
+        # dedup_queries: ALWAYS also emit the batch's unique query rows
         # (query_uniq_ids/valid (U,Tq), U padded up to a multiple of
-        # dedup_bucket to bound executable-shape churn) plus gather-back
-        # indices query_gather (B,). The train step then runs frozen BERT
-        # on U rows instead of B (multitask batches repeat the ~36 task
-        # templates across most rows). Exact: identical token rows encode
-        # identically (BERT is frozen + dropout-free).
+        # dedup_bucket, capped at B) plus gather-back indices query_gather
+        # (B,). The train step then runs frozen BERT on U rows instead of
+        # B (multitask batches repeat the ~36 task templates across most
+        # rows). Exact: identical token rows encode identically (BERT is
+        # frozen + dropout-free). Emission is unconditional so the jit
+        # batch pytree never toggles mid-epoch: executable variants are
+        # bounded by the set of U values (bucket multiples up to B), not
+        # by when a VQA-heavy batch happens to defeat dedup.
         self.dedup_queries = dedup_queries
         self.dedup_bucket = dedup_bucket
 
@@ -85,18 +88,18 @@ class Collator:
             uniq, first, inverse = np.unique(
                 query_ids, axis=0, return_index=True, return_inverse=True)
             bucket = self.dedup_bucket
-            U = max(bucket, ((len(uniq) + bucket - 1) // bucket) * bucket)
-            if U < B:  # no emission when dedup can't save a full bucket
-                uniq_ids = np.concatenate(
-                    [uniq, np.broadcast_to(uniq[:1], (U - len(uniq),
-                                                      uniq.shape[1]))])
-                uniq_valid = np.concatenate(
-                    [query_valid[first],
-                     np.broadcast_to(query_valid[first[:1]],
-                                     (U - len(uniq), query_valid.shape[1]))])
-                batch["query_uniq_ids"] = np.ascontiguousarray(uniq_ids)
-                batch["query_uniq_valid"] = np.ascontiguousarray(uniq_valid)
-                batch["query_gather"] = inverse.astype(np.int32).reshape(B)
+            U = min(B, max(bucket,
+                           ((len(uniq) + bucket - 1) // bucket) * bucket))
+            pad = U - len(uniq)  # >= 0: len(uniq) <= B and U caps at B
+            uniq_ids = np.concatenate(
+                [uniq, np.broadcast_to(uniq[:1], (pad, uniq.shape[1]))])
+            uniq_valid = np.concatenate(
+                [query_valid[first],
+                 np.broadcast_to(query_valid[first[:1]],
+                                 (pad, query_valid.shape[1]))])
+            batch["query_uniq_ids"] = np.ascontiguousarray(uniq_ids)
+            batch["query_uniq_valid"] = np.ascontiguousarray(uniq_valid)
+            batch["query_gather"] = inverse.astype(np.int32).reshape(B)
         if "image" in items[0]:
             batch["image"] = np.stack([it["image"] for it in items])
         return batch

@@ -66,15 +66,19 @@ def main():
         for nw in workers:
             if nw == 0 and loader != loaders[0]:
                 continue  # sequential baseline is loader-independent
-            # warm one pass to fault in files/page cache (and fork the
-            # process pool outside the timed region, like a real run)
+            # warm pass: fault in files/page cache
             next(iter_padded_batches(ds, 16, max_samples=16,
                                      num_workers=nw, loader=loader))
+            # each iter_padded_batches call constructs its OWN pool, so
+            # start the clock after the FIRST batch of the measured
+            # generator: pool fork/threads + prefetch ramp are excluded
+            # (a real eval run pays them once per epoch, not per batch)
+            gen = iter_padded_batches(ds, 16, num_workers=nw,
+                                      loader=loader)
+            next(gen)
             t0 = time.perf_counter()
             items = 0
-            for batch, n_real in iter_padded_batches(ds, 16,
-                                                     num_workers=nw,
-                                                     loader=loader):
+            for batch, n_real in gen:
                 items += n_real
             dt = time.perf_counter() - t0
             print(json.dumps({"loader": loader if nw else "sequential",

@@ -178,6 +178,13 @@ class TestSplits:
         assert not watch("he likes to watch television")
         assert not watch("she watches birds")
         assert watch("the watches are on display")
+        # conjunct rule: noun coordination keeps NOUN, verb coordination
+        # stays VERB (review r4: 'and' was wrongly a blanket verb trigger)
+        assert watch("a man wearing a hat and watch by the door")
+        assert not watch("they sit and watch the waves")
+        # adjective/material modifiers before plural 'watches' are nominal
+        assert watch("are there two gold watches in the picture")
+        assert not watch("the man watches the game on sunday")
 
     def test_split_data_drops_unseen_train_samples(self):
         syn = coco_synonyms()

@@ -112,6 +112,23 @@ class TestEvalLoaderModes:
         leaked = set(glob.glob("/dev/shm/psm_*")) - before
         assert not leaked, leaked
 
+    def test_process_loader_items_are_owning_arrays(self):
+        """Yielded images must be ordinary owning arrays — retaining a
+        whole epoch (the threads-path `list(...)` pattern, used e.g. in
+        test_eval.py) must stay valid after the generator is exhausted
+        and its shm blocks are freed (review r4: a shm-backed VIEW here
+        would SIGSEGV on read, with no Python error)."""
+        from gpv_tpu.infer.predictions import iter_padded_batches
+        ds = _SyntheticImageDataset(n=10)
+        retained = list(iter_padded_batches(ds, 4, num_workers=2,
+                                            loader="processes"))
+        assert len(retained) == 3
+        for (items, n_real), (sitems, sn) in zip(
+                retained, iter_padded_batches(ds, 4, num_workers=0)):
+            for it, sit in zip(items, sitems):
+                assert it["image"].base is None  # owns its memory
+                np.testing.assert_array_equal(it["image"], sit["image"])
+
     def test_unknown_loader_rejected(self):
         from gpv_tpu.infer.predictions import iter_padded_batches
         with pytest.raises(ValueError, match="threads|processes"):

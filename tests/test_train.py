@@ -466,7 +466,10 @@ class TestQueryDedup:
             batch["query_uniq_valid"][batch["query_gather"]],
             batch["query_valid"])
 
-    def test_collator_skips_when_no_saving(self):
+    def test_collator_always_emits_capped_at_batch(self):
+        """Emission is UNCONDITIONAL (the jit batch pytree must not toggle
+        mid-epoch — each toggle is a full train-step recompile); when dedup
+        can't save, U caps at B and the 'unique' rows are just the batch."""
         from gpv_tpu.datasets.loader import Collator
         from gpv_tpu.text import WordPieceTokenizer
         from gpv_tpu.text.vocab import AnswerVocab
@@ -475,9 +478,12 @@ class TestQueryDedup:
                        max_text_len=8, dedup_queries=True, dedup_bucket=16)
         items = [{"task": "CocoVqa", "query": f"question number {i}",
                   "answer": "cat", "image": np.zeros((4, 4, 3), np.float32)}
-                 for i in range(8)]  # bucket 16 >= B: emission can't save
+                 for i in range(8)]  # all unique; bucket 16 > B=8
         batch = col(items)
-        assert "query_uniq_ids" not in batch
+        assert batch["query_uniq_ids"].shape[0] == 8  # U == B cap
+        np.testing.assert_array_equal(
+            batch["query_uniq_ids"][batch["query_gather"]],
+            batch["query_ids"])
 
     @pytest.mark.parametrize("grad_accum", [1, 2])
     def test_train_step_losses_match_plain(self, grad_accum):
