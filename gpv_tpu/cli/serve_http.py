@@ -12,9 +12,12 @@ Protocol (JSON over HTTP):
                      submit->result latency p50/p90/p99 ms) — GPVServer.stats
   POST /predict   body {"image": <base64 JPEG/PNG>, "query": "<text>",
                         "task": "vqa"|"captioning"|"classification"|
-                                "classification_syns"|"detection" (optional)}
+                                "classification_syns"|"detection" (optional),
+                        "beam_size": int (optional; K>1 -> beam search)}
                -> {"answer": str, "boxes": [[cx,cy,w,h] x Q],
                    "relevance": [float x Q]}
+                  + for beam requests: {"answers": [str x K],
+                    "answer_probs": [float x K]} ("answer" = top beam)
 
 `task=classification[_syns]` applies the COCO-class vocab mask exactly like
 the offline eval path (`evaluation/evaluators.py:coco_vocab_mask`); all other
@@ -104,16 +107,27 @@ def make_handler(server, vocab_masks: dict, size_hw, timeout_s: float = 120.0):
                                  f"{sorted(vocab_masks)}"})
                     return
                 mask = vocab_masks.get(task) if task else None
+                beam = req.get("beam_size")
+                beam = int(beam) if beam else None
+                if beam is not None and not 1 <= beam <= 20:
+                    self._reply(400, {"error": f"beam_size {beam} out of "
+                                               f"range [1, 20]"})
+                    return
             except Exception as e:
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
             try:
-                out = server.submit(image, query, mask).result(
+                out = server.submit(image, query, mask,
+                                    beam_size=beam).result(
                     timeout=timeout_s)
-                self._reply(200, {
+                payload = {
                     "answer": out["answer"],
                     "boxes": np.asarray(out["boxes"]).tolist(),
-                    "relevance": np.asarray(out["relevance"]).tolist()})
+                    "relevance": np.asarray(out["relevance"]).tolist()}
+                if "answers" in out:  # beam request: all K + probs
+                    payload["answers"] = out["answers"]
+                    payload["answer_probs"] = out["answer_probs"]
+                self._reply(200, payload)
             except Exception as e:
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 

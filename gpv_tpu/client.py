@@ -73,16 +73,21 @@ class GPVClient:
     # ---- API ----
 
     def predict(self, image, query: str,
-                task: Optional[str] = None) -> dict:
+                task: Optional[str] = None,
+                beam_size: Optional[int] = None) -> dict:
         """One request -> {answer, boxes (Qx4 cxcywh lists), relevance}.
 
         `image`: path, encoded bytes, or HxWx3 uint8 array.
         `task`: optional server-side vocab-mask routing
         ("classification"/"classification_syns" apply the COCO class mask).
+        `beam_size`: K>1 adds beam search — the reply also carries
+        `answers` ([str x K]) and `answer_probs`; `answer` is the top beam.
         """
         payload = {"image": self._encode_image(image), "query": query}
         if task is not None:
             payload["task"] = task
+        if beam_size is not None:
+            payload["beam_size"] = int(beam_size)
         return self._post("/predict", payload)
 
     def healthy(self) -> bool:

@@ -81,15 +81,24 @@ class GPVServer:
             w.start()
 
     def submit(self, image_uint8: np.ndarray, query: str,
-               vocab_mask: Optional[np.ndarray] = None) -> Future:
-        """Enqueue one request; resolves to {answer, boxes, relevance}."""
+               vocab_mask: Optional[np.ndarray] = None,
+               beam_size: Optional[int] = None) -> Future:
+        """Enqueue one request; resolves to {answer, boxes, relevance}.
+
+        beam_size > 1 routes the request through `engine.predict_beam`
+        (resolves to {answers: [str x K], answer_probs, boxes, relevance,
+        answer} — `answer` is the top beam, so greedy and beam clients
+        can read the same field). Requests only share a batch when BOTH
+        their vocab mask and beam size match; beam executables compile on
+        first use (warmup covers the greedy ones)."""
         fut: Future = Future()
+        beam = int(beam_size) if beam_size and int(beam_size) > 1 else None
         with self._lifecycle_lock:
             # check-and-enqueue is atomic vs close(): no request can slip
             # into the queue after close() drained and cancelled leftovers
             if self._closed.is_set() or self._closing.is_set():
                 raise RuntimeError("server closed")
-            self._q.put((image_uint8, query, vocab_mask, fut,
+            self._q.put((image_uint8, query, vocab_mask, beam, fut,
                          time.monotonic()))
         with self._stats_lock:
             self._submitted += 1
@@ -105,6 +114,11 @@ class GPVServer:
             return None
         m = np.asarray(mask)
         return (m.shape, m.dtype.str, m.tobytes())
+
+    @classmethod
+    def _batch_key(cls, item) -> tuple:
+        """Requests coalesce only on (mask identity, beam size)."""
+        return (cls._mask_key(item[2]), item[3])
 
     def _collect(self):
         """Collect up to batch_size requests sharing one vocab mask.
@@ -130,7 +144,7 @@ class GPVServer:
         with self._lifecycle_lock:
             self._busy += 1
         items = [first]
-        key = self._mask_key(first[2])
+        key = self._batch_key(first)
         deferred = []
         deadline = time.monotonic() + self.max_wait_s
         # same-mask requests already deferred join this batch first
@@ -138,7 +152,7 @@ class GPVServer:
             keep = []
             for it in self._pending:
                 if len(items) < self.batch_size and \
-                        self._mask_key(it[2]) == key:
+                        self._batch_key(it) == key:
                     items.append(it)
                 else:
                     keep.append(it)
@@ -151,7 +165,7 @@ class GPVServer:
                 it = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
-            if self._mask_key(it[2]) == key:
+            if self._batch_key(it) == key:
                 items.append(it)
             else:
                 deferred.append(it)
@@ -166,7 +180,7 @@ class GPVServer:
                     late = list(self._pending)
                     self._pending.clear()
             for it in late:
-                it[3].cancel()
+                it[4].cancel()
             with self._stats_lock:
                 self._deferred += len(deferred)
         return items
@@ -187,6 +201,7 @@ class GPVServer:
         images = [it[0] for it in items]
         queries = [it[1] for it in items]
         mask = items[0][2]
+        beam = items[0][3]
         # pad to the smallest bucket that fits (static XLA shapes) by
         # repeating the last request — a lone request at low load runs
         # the bucket-1 executable, not a full padded batch
@@ -196,10 +211,17 @@ class GPVServer:
             images.append(images[-1])
             queries.append(queries[-1])
         try:
-            outs = self.engine.predict(np.stack(images), queries, mask)
+            if beam:
+                outs = self.engine.predict_beam(np.stack(images), queries,
+                                                beam_size=beam,
+                                                vocab_mask=mask)
+                for o in outs:
+                    o["answer"] = o["answers"][0]  # uniform client field
+            else:
+                outs = self.engine.predict(np.stack(images), queries, mask)
             done = time.monotonic()
             resolved = []
-            for (_, _, _, fut, t0), out in zip(items, outs[:n]):
+            for (_, _, _, _, fut, t0), out in zip(items, outs[:n]):
                 # a client may have cancelled a queued future; never
                 # let that re-route a successful batch to the failure
                 # path (or double-count it in the stats)
@@ -214,7 +236,7 @@ class GPVServer:
                 self._latencies.extend(resolved)
         except Exception as e:
             failed = 0
-            for _, _, _, fut, _ in items:
+            for _, _, _, _, fut, _ in items:
                 if not fut.done() and fut.set_running_or_notify_cancel():
                     fut.set_exception(e)
                     failed += 1
@@ -302,5 +324,5 @@ class GPVServer:
                 leftovers.append(self._q.get_nowait())
             except queue.Empty:
                 break
-        for _, _, _, fut, _ in leftovers:
+        for _, _, _, _, fut, _ in leftovers:
             fut.cancel()

@@ -43,6 +43,33 @@ class TestServer:
             np.testing.assert_allclose(got["boxes"], ref["boxes"],
                                        atol=2e-2)
 
+    def test_beam_requests_batch_separately_and_match_direct(self, engine):
+        """beam_size routes through predict_beam; beam and greedy requests
+        never share a batch (different decode executables); `answer` is
+        the top beam so clients read one field either way."""
+        rng = np.random.RandomState(3)
+        images = [rng.randint(0, 255, (48, 64, 3), np.uint8)
+                  for _ in range(4)]
+        server = GPVServer(engine, batch_size=2, max_wait_ms=50,
+                           num_workers=1)
+        futs = [server.submit(im, f"what is {i}?",
+                              beam_size=3 if i % 2 else None)
+                for i, im in enumerate(images)]
+        results = [f.result(timeout=300) for f in futs]
+        server.close()
+        for i, (im, got) in enumerate(zip(images, results)):
+            if i % 2:
+                ref = engine.predict_beam(im[None], [f"what is {i}?"],
+                                          beam_size=3)[0]
+                assert got["answers"] == ref["answers"]
+                np.testing.assert_allclose(got["answer_probs"],
+                                           ref["answer_probs"], atol=1e-4)
+                assert got["answer"] == ref["answers"][0]
+            else:
+                ref = engine.predict(im[None], [f"what is {i}?"])[0]
+                assert got["answer"] == ref["answer"]
+                assert "answers" not in ref
+
     def test_stats_counters_account_for_all_traffic(self, engine):
         rng = np.random.RandomState(3)
         images = [rng.randint(0, 255, (48, 64, 3), np.uint8)
@@ -84,8 +111,8 @@ class TestServer:
             f_ok, f_cancel = Future(), Future()
             f_cancel.cancel()
             t0 = _time.monotonic()
-            server._execute([(img, "keep me", None, f_ok, t0),
-                             (img, "cancelled", None, f_cancel, t0)])
+            server._execute([(img, "keep me", None, None, f_ok, t0),
+                             (img, "cancelled", None, None, f_cancel, t0)])
             assert f_ok.result(timeout=60)["answer"] is not None
             assert f_cancel.cancelled()
             s = server.stats()
@@ -211,9 +238,10 @@ class TestCollectScheduling:
         return srv
 
     @staticmethod
-    def _req(tag, mask):
+    def _req(tag, mask, beam=None):
         from concurrent.futures import Future
-        return (tag, f"query-{tag}", mask, Future())
+        return (tag, f"query-{tag}", mask, beam, Future(),
+                __import__("time").monotonic())
 
     def test_deferred_minority_mask_served_next_batch(self):
         """A mask-B request deferred during an A batch seeds the NEXT batch

@@ -69,6 +69,30 @@ class TestHttpFrontend:
         np.testing.assert_allclose(np.asarray(out["boxes"]), ref["boxes"],
                                    atol=1e-5)
 
+    def test_beam_request_returns_k_answers(self, http_stack, engine):  # noqa: F811,E501
+        base, _ = http_stack
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        out = _post(base, {"image": _b64_png(img),
+                           "query": "describe the image",
+                           "beam_size": 3})
+        assert len(out["answers"]) == 3
+        assert out["answer"] == out["answers"][0]
+        probs = out["answer_probs"]
+        assert all(probs[i] >= probs[i + 1] - 1e-6
+                   for i in range(len(probs) - 1))
+        ref = engine.predict_beam(img[None], ["describe the image"],
+                                  beam_size=3)[0]
+        assert out["answers"] == ref["answers"]
+
+    def test_beam_size_out_of_range_is_400(self, http_stack):
+        base, _ = http_stack
+        img = np.zeros((8, 8, 3), np.uint8)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, {"image": _b64_png(img), "query": "q",
+                         "beam_size": 50})
+        assert ei.value.code == 400
+
     def test_resizes_native_input(self, http_stack):
         base, _ = http_stack
         rng = np.random.RandomState(1)
