@@ -13,7 +13,9 @@ Protocol (JSON over HTTP):
   POST /predict   body {"image": <base64 JPEG/PNG>, "query": "<text>",
                         "task": "vqa"|"captioning"|"classification"|
                                 "classification_syns"|"detection" (optional),
-                        "beam_size": int (optional; K>1 -> beam search)}
+                        "beam_size": int (optional, 1..20 -> beam search;
+                                     checkpoint deployments only — exported
+                                     bundles serve greedy and reply 400)}
                -> {"answer": str, "boxes": [[cx,cy,w,h] x Q],
                    "relevance": [float x Q]}
                   + for beam requests: {"answers": [str x K],
@@ -107,12 +109,23 @@ def make_handler(server, vocab_masks: dict, size_hw, timeout_s: float = 120.0):
                                  f"{sorted(vocab_masks)}"})
                     return
                 mask = vocab_masks.get(task) if task else None
-                beam = req.get("beam_size")
-                beam = int(beam) if beam else None
-                if beam is not None and not 1 <= beam <= 20:
-                    self._reply(400, {"error": f"beam_size {beam} out of "
-                                               f"range [1, 20]"})
-                    return
+                beam = None
+                if req.get("beam_size") is not None:
+                    beam = int(req["beam_size"])
+                    if not 1 <= beam <= 20:
+                        # validate BEFORE any falsy-normalization so
+                        # beam_size=0 is a 400, not silent greedy
+                        self._reply(400, {"error": f"beam_size {beam} out "
+                                                   f"of range [1, 20]"})
+                        return
+                    if not hasattr(server.engine, "predict_beam"):
+                        # exported bundles ship greedy executables only
+                        self._reply(400, {
+                            "error": "beam_size is not supported by this "
+                                     "deployment (exported bundle serves "
+                                     "greedy only; serve from a checkpoint "
+                                     "for beam search)"})
+                        return
             except Exception as e:
                 self._reply(400, {"error": f"bad request: {e}"})
                 return

@@ -71,12 +71,21 @@ _ORANGE_COMPOUND_HEADS = frozenset((
     "wedge", "wedges", "soda", "marmalade",
 ))
 
+# Person nouns: subjects for the watch rules ("the man watches"), and
+# attributive heads for orange ("an orange man" -> ADJ) — listed apart
+# from the object nouns so each gate's lexicon edits stay reviewable.
+_PERSON_NOUNS = frozenset((
+    "man", "men", "woman", "women", "boy", "boys", "girl", "girls",
+    "child", "children", "kid", "kids", "lady", "ladies", "guy", "guys",
+    "player", "players",
+))
+
 # Concrete objects/animals "orange" attributively modifies in COCO
 # captions and VQA answers ("an orange cat", "orange traffic cone").
 # ADJ reading.  Vendored from the COCO category list + the high-
 # frequency caption nouns the templates/answers can produce; compound
 # heads above take precedence.
-_ORANGE_ADJ_HEADS = frozenset((
+_OBJECT_NOUNS = frozenset((
     # COCO categories (single-word forms + common plurals)
     "person", "people", "bicycle", "bicycles", "car", "cars",
     "motorcycle", "motorcycles", "airplane", "airplanes", "bus",
@@ -110,16 +119,13 @@ _ORANGE_ADJ_HEADS = frozenset((
     "hue", "stripe", "stripes", "jersey", "jerseys", "uniform",
     "uniforms", "helmet", "helmets", "background", "object", "objects",
     "thing", "things", "one", "ones",
-    # person nouns (watch's subject rule needs them; 'orange man' is a
-    # fine ADJ reading too)
-    "man", "men", "woman", "women", "boy", "boys", "girl", "girls",
-    "child", "children", "kid", "kids", "lady", "ladies", "guy", "guys",
-    "player", "players",
 ))
 
-# The same list doubles as the common-noun lexicon for the watch rules
-# (noun-conjunct and noun-subject detection).
-_COMMON_NOUNS = _ORANGE_ADJ_HEADS
+# Each gate's lexicon, composed explicitly (review r4: a bare alias
+# coupled the two gates so watch-lexicon edits mutated orange decisions
+# unreviewed).
+_ORANGE_ADJ_HEADS = _OBJECT_NOUNS | _PERSON_NOUNS
+_COMMON_NOUNS = _OBJECT_NOUNS | _PERSON_NOUNS
 
 # Color words: "orange" coordinated with one of these is part of an
 # adjective conjunction ("an orange and white dog" -> ADJ).
@@ -195,10 +201,6 @@ def watch_is_noun(tokens: Sequence[str], i: int) -> bool:
     Decision order (first match wins):
       1. previous token is a determiner/number  -> NOUN  ("a watch",
                                                           "two watches")
-      1b. previous token is a color/material or
-          adjective-like modifier               -> NOUN  ("a gold watch",
-                                                          "two gold
-                                                          watches")
       2. previous token is a subject/aux/"to"   -> VERB  ("do you watch",
                                                           "to watch")
       2b. "and"-conjunct: decided by the word
@@ -209,7 +211,13 @@ def watch_is_noun(tokens: Sequence[str], i: int) -> bool:
                                                           watch")
       3. next token is an object/particle cue   -> VERB  ("watch tv",
                                                           "watch the
-                                                          game")
+                                                          game") — this
+          outranks a color before the word: "men in red watch the game"
+          is a verb even though "red" precedes it
+      3b. previous token is a color/material
+          modifier (and no object follows)      -> NOUN  ("a gold watch",
+                                                          "two gold
+                                                          watches")
       4. "watches" with a noun/pronoun subject  -> VERB  ("the man
                                                           watches")
       5. default                                -> NOUN
@@ -218,8 +226,6 @@ def watch_is_noun(tokens: Sequence[str], i: int) -> bool:
     nxt = tokens[i + 1] if i + 1 < len(tokens) else None
     prev = tokens[i - 1] if i > 0 else None
     if prev in _DETERMINERS:
-        return True
-    if prev in _COLORS:
         return True
     if prev in _VERB_TRIGGERS:
         return False
@@ -231,6 +237,8 @@ def watch_is_noun(tokens: Sequence[str], i: int) -> bool:
             before in ("watch", "watches", "clock", "clocks")
     if nxt in _WATCH_OBJECT_CUES:
         return False
+    if prev in _COLORS:
+        return True
     if word == "watches" and (prev in _COMMON_NOUNS or
                               prev in ("he", "she", "it", "who")):
         # 3rd-person-singular inflection after a subject: "the man

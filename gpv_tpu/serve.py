@@ -85,14 +85,18 @@ class GPVServer:
                beam_size: Optional[int] = None) -> Future:
         """Enqueue one request; resolves to {answer, boxes, relevance}.
 
-        beam_size > 1 routes the request through `engine.predict_beam`
-        (resolves to {answers: [str x K], answer_probs, boxes, relevance,
-        answer} — `answer` is the top beam, so greedy and beam clients
-        can read the same field). Requests only share a batch when BOTH
-        their vocab mask and beam size match; beam executables compile on
-        first use (warmup covers the greedy ones)."""
+        beam_size (any K >= 1, None = greedy) routes the request through
+        `engine.predict_beam` (resolves to {answers: [str x K],
+        answer_probs, boxes, relevance, answer} — `answer` is the top
+        beam, so greedy and beam clients can read the same field; K=1 is
+        honored as a 1-beam search so a beam client ALWAYS gets the
+        `answers` key). Requests only share a batch when BOTH their vocab
+        mask and beam size match; beam executables compile on first use
+        (warmup covers the greedy ones)."""
         fut: Future = Future()
-        beam = int(beam_size) if beam_size and int(beam_size) > 1 else None
+        beam = None if beam_size is None else int(beam_size)
+        if beam is not None and beam < 1:
+            raise ValueError(f"beam_size must be >= 1, got {beam}")
         with self._lifecycle_lock:
             # check-and-enqueue is atomic vs close(): no request can slip
             # into the queue after close() drained and cancelled leftovers

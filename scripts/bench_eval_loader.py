@@ -75,12 +75,18 @@ def main():
             # (a real eval run pays them once per epoch, not per batch)
             gen = iter_padded_batches(ds, 16, num_workers=nw,
                                       loader=loader)
-            next(gen)
+            next(gen)  # items below EXCLUDES this ramp batch's 16 rows
             t0 = time.perf_counter()
             items = 0
             for batch, n_real in gen:
                 items += n_real
             dt = time.perf_counter() - t0
+            if items == 0:
+                print(json.dumps({"loader": loader, "num_workers": nw,
+                                  "error": f"n={n} yields a single batch; "
+                                           f"need n > 16 to time past the "
+                                           f"ramp batch"}), flush=True)
+                continue
             print(json.dumps({"loader": loader if nw else "sequential",
                               "num_workers": nw, "items": items,
                               "img_per_sec": round(items / dt, 1),

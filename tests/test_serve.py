@@ -68,7 +68,27 @@ class TestServer:
             else:
                 ref = engine.predict(im[None], [f"what is {i}?"])[0]
                 assert got["answer"] == ref["answer"]
-                assert "answers" not in ref
+                # the SERVER response must not leak beam fields into a
+                # greedy request (a batching-key regression would)
+                assert "answers" not in got
+
+    def test_beam_size_one_still_returns_answers_key(self, engine):
+        """K=1 is honored as a 1-beam search (review r4: silently
+        downgrading to greedy broke the 'beam request -> answers key'
+        contract); beam_size=0 is rejected loudly."""
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        server = GPVServer(engine, batch_size=1, max_wait_ms=1,
+                           num_workers=1)
+        try:
+            out = server.submit(img, "what?", beam_size=1).result(
+                timeout=300)
+            assert out["answers"] == [out["answer"]]
+            assert len(out["answer_probs"]) == 1
+            with pytest.raises(ValueError, match="beam_size"):
+                server.submit(img, "what?", beam_size=0)
+        finally:
+            server.close()
 
     def test_stats_counters_account_for_all_traffic(self, engine):
         rng = np.random.RandomState(3)
