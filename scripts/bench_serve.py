@@ -7,8 +7,10 @@ model) at 25/50/90% of the measured saturation throughput, for max batch
 small-batch executable fallback (buckets 1/8/B). Reports p50/p99 request
 latency per point, measured from SCHEDULED arrival to future resolution.
 
-Usage: python scripts/bench_serve.py [batches=20,64] [n=800] [utils=0.25,0.5,0.9]
+Usage: python scripts/bench_serve.py [batches=20,64] [n=800]
+                                     [utils=0.25,0.5,0.9] [beam=K]
 Prints one JSON row per (batch, utilization) point, then a summary table.
+beam=K runs the whole sweep through the beam-search serving path.
 """
 import json
 import os
@@ -50,9 +52,10 @@ def build_engine():
     return eng
 
 
-def measure_capacity(server, images, n_burst=240):
+def measure_capacity(server, images, n_burst=240, beam=None):
     """Closed-loop saturation: submit a burst, measure completion rate."""
-    futs = [server.submit(images[i % len(images)], f"what is item {i}?")
+    futs = [server.submit(images[i % len(images)], f"what is item {i}?",
+                          beam_size=beam)
             for i in range(n_burst)]
     t0 = time.perf_counter()
     for f in futs:
@@ -61,7 +64,7 @@ def measure_capacity(server, images, n_burst=240):
     return n_burst / (time.perf_counter() - t0)
 
 
-def run_poisson(server, images, rate_hz, n_req, seed=0):
+def run_poisson(server, images, rate_hz, n_req, seed=0, beam=None):
     """Open-loop Poisson arrivals at rate_hz; returns latencies (s).
 
     Each request's completion is timestamped in a done-callback (fires on
@@ -89,7 +92,8 @@ def run_poisson(server, images, rate_hz, n_req, seed=0):
         else:
             lag_max = max(lag_max, -wait)
         futs[i] = server.submit(images[i % len(images)],
-                                f"describe object {i % 31}")
+                                f"describe object {i % 31}",
+                                beam_size=beam)
         futs[i].add_done_callback(_stamp(i))
     for fut in futs:
         fut.result(timeout=600)
@@ -102,6 +106,10 @@ def main():
     batches = [int(b) for b in args.get("batches", "20,64").split(",")]
     n_req = int(args.get("n", 800))
     utils = [float(u) for u in args.get("utils", "0.25,0.5,0.9").split(",")]
+    # beam=K: run the whole SLO sweep through the beam path (BASELINE
+    # config #4 as a SERVING workload, not just offline eval)
+    beam = args.get("beam")
+    beam = int(beam) if beam else None
 
     from gpv_tpu.serve import GPVServer
     eng = build_engine()
@@ -113,15 +121,21 @@ def main():
         buckets = sorted({1, 8, B})
         server = GPVServer(eng, max_wait_ms=5.0, num_workers=2,
                            bucket_sizes=buckets, warmup=(H, W))
-        cap = measure_capacity(server, images, n_burst=12 * B)
-        print(json.dumps({"batch": B, "buckets": buckets,
+        if beam:
+            # GPVServer.warmup covers greedy executables only; compile
+            # the beam executable per bucket before any timed work
+            for b in buckets:
+                eng.predict_beam(np.zeros((b, H, W, 3), np.uint8),
+                                 ["warm up"] * b, beam_size=beam)
+        cap = measure_capacity(server, images, n_burst=12 * B, beam=beam)
+        print(json.dumps({"batch": B, "buckets": buckets, "beam": beam,
                           "capacity_img_per_sec": round(cap, 1)}),
               flush=True)
         for u in utils:
             rate = u * cap
             lats, lag = run_poisson(server, images, rate, n_req,
-                                    seed=int(u * 100))
-            row = {"batch": B, "util": u,
+                                    seed=int(u * 100), beam=beam)
+            row = {"batch": B, "util": u, "beam": beam,
                    "offered_req_per_sec": round(rate, 1),
                    "p50_ms": round(1000 * float(np.percentile(lats, 50)), 1),
                    "p90_ms": round(1000 * float(np.percentile(lats, 90)), 1),
