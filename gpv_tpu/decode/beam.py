@@ -43,17 +43,15 @@ def beam_decode(model: GPV, variables, memory: jnp.ndarray,
     K = beam_size
     T = model.max_text_len
 
-    # Precompute the loop-invariant decode state on the (B,·) memory FIRST,
-    # then tile across beams: the per-layer cross-attention K/V projections
-    # are identical for all K beams of a sample (only the queries differ),
-    # so projecting after a K-fold repeat would do K× the matmul FLOPs and
-    # K× the projection HBM writes for identical results. The classifier
-    # matrix is beam-independent entirely — never tiled.
-    mem_kvs, classifier = model.apply(variables, memory,
-                                      method=GPV.precompute_text_memory)
-    mem_kvs = jax.tree.map(lambda x: jnp.repeat(x, K, axis=0), mem_kvs)
-    mem_state = (mem_kvs, classifier)
-    mv = jnp.repeat(mem_valid, K, axis=0) if mem_valid is not None else None
+    # The loop-invariant decode state stays at (B,·) — never tiled: the
+    # per-layer cross-attention K/V projections are identical for all K
+    # beams of a sample (only the queries differ), so the step routes the
+    # beam axis through `attend`'s query-sequence axis (`beam_group=K`)
+    # instead of repeating the K/V K-fold. This saves both the K× projection
+    # FLOPs/writes AND the K× per-step HBM reads of the (Tm,H,Dh) tensors.
+    # The classifier matrix is beam-independent entirely.
+    mem_state = model.apply(variables, memory,
+                            method=GPV.precompute_text_memory)
     caches = init_cache(model, B * K)
 
     tok0 = jnp.full((B * K,), cls_id, jnp.int32)
@@ -62,7 +60,8 @@ def beam_decode(model: GPV, variables, memory: jnp.ndarray,
 
     def step(carry, t):
         caches, tok, seq_log_prob, seqs = carry
-        logits, caches = model.apply(variables, tok, mem_state, mv, caches, t,
+        logits, caches = model.apply(variables, tok, mem_state, mem_valid,
+                                     caches, t, beam_group=K,
                                      method=GPV.text_step)  # (B*K, V)
         if vocab_mask is not None:
             logits = logits + vocab_mask

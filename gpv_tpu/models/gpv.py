@@ -269,8 +269,13 @@ class GPV(nn.Module):
         return (self.text_decoder.precompute_memory(memory),
                 self.answer_classifier())
 
-    def text_step(self, token_t, mem_state, mem_valid, caches, t):
+    def text_step(self, token_t, mem_state, mem_valid, caches, t,
+                  beam_group: int = 1):
         """One decode step: (B,) token ids at position t -> (B,V) logits.
+
+        beam_group: static K>1 for beam decoding — token_t/caches hold B*K
+        sample-major rows while mem_state/mem_valid stay UNTILED at (B,·)
+        (the K beams share cross-attention K/V; see TextDecoderLayer.step).
 
         Returns (logits, new_caches).
         """
@@ -279,7 +284,8 @@ class GPV(nn.Module):
         if self.text_pos_enc:
             x_t = x_t + jax.lax.dynamic_slice_in_dim(
                 self.pos_enc_table, t, 1, axis=0)[None].astype(x_t.dtype)
-        y, caches = self.text_decoder.step(x_t, mem_kvs, mem_valid, caches, t)
+        y, caches = self.text_decoder.step(x_t, mem_kvs, mem_valid, caches, t,
+                                           beam_group=beam_group)
         return self.answer_logits_head(y[:, 0], classifier), caches
 
     def init_text_cache(self, batch: int):

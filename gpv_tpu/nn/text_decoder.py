@@ -62,7 +62,8 @@ class TextDecoderLayer(nn.Module):
         """Cross-attention K/V, computed once per decode: (B,Tm,H,Dh) x2."""
         return self.cross_attn.project_kv(memory, memory)
 
-    def step(self, x_t, mem_kv, mem_valid, cache_k, cache_v, t):
+    def step(self, x_t, mem_kv, mem_valid, cache_k, cache_v, t,
+             beam_group: int = 1):
         """One incremental token.
 
         Args:
@@ -70,6 +71,12 @@ class TextDecoderLayer(nn.Module):
           mem_kv: precomputed (mem_k, mem_v).
           cache_k/cache_v: (B, S_max, H, Dh) self-attention KV cache.
           t: scalar int32 position.
+          beam_group: static K>1 marks x_t as B*K sample-major beam rows
+            whose mem_kv/mem_valid stay UNTILED at (B//K,·): the K beams of
+            one sample share cross-attention K/V, so the beam axis rides
+            `attend`'s query-sequence axis instead — the per-step HBM reads
+            of the (Tm,H,Dh) memory K/V drop K-fold and nothing is tiled.
+            Identical math to calling with pre-repeated mem_kv.
 
         Returns: (y_t (B,1,D), cache_k, cache_v).
         """
@@ -85,8 +92,14 @@ class TextDecoderLayer(nn.Module):
             key_valid=jnp.broadcast_to(pos_valid, (B, S)))
         x = self.norm1(x_t + sa)
         mem_k, mem_v = mem_kv
-        ca = self.cross_attn.attend(self.cross_attn.project_q(x), mem_k,
-                                    mem_v, key_valid=mem_valid)
+        q = self.cross_attn.project_q(x)  # (B,1,H,Dh)
+        if beam_group > 1:
+            qb = q.reshape(B // beam_group, beam_group, *q.shape[2:])
+            ca = self.cross_attn.attend(qb, mem_k, mem_v,
+                                        key_valid=mem_valid)  # (B/K,K,D)
+            ca = ca.reshape(B, 1, ca.shape[-1])
+        else:
+            ca = self.cross_attn.attend(q, mem_k, mem_v, key_valid=mem_valid)
         x = self.norm2(x + ca)
         y = self.norm3(x + self._ffn(x, True))
         return y, cache_k, cache_v
@@ -121,10 +134,11 @@ class TextDecoder(nn.Module):
         z = jnp.zeros(shape, self.dtype)
         return tuple((z, z) for _ in range(self.num_layers))
 
-    def step(self, x_t, mem_kvs, mem_valid, caches, t):
+    def step(self, x_t, mem_kvs, mem_valid, caches, t, beam_group: int = 1):
         """One token through all layers; returns (y_t, new_caches)."""
         new_caches = []
         for layer, mem_kv, (ck, cv) in zip(self.layers, mem_kvs, caches):
-            x_t, ck, cv = layer.step(x_t, mem_kv, mem_valid, ck, cv, t)
+            x_t, ck, cv = layer.step(x_t, mem_kv, mem_valid, ck, cv, t,
+                                     beam_group=beam_group)
             new_caches.append((ck, cv))
         return x_t, tuple(new_caches)
