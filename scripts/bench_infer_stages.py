@@ -81,14 +81,20 @@ def main():
                                    jnp.float32)
         qids = jax.random.randint(jax.random.PRNGKey(2), (B, 12), 0, 30522)
         qvalid = jnp.ones((B, 12), bool)
+        # one distinct device buffer per timed call: the relay serves
+        # byte-identical repeat dispatches from a cache, which would fake
+        # the per-iteration wall time
+        image_rot = [images + jnp.float32(i) * 1e-6 for i in range(iters)]
+        jax.block_until_ready(image_rot)
         for name, fn in (("encode_only", encode_only), ("full", full),
                          ("full_beam5", full_beam5)):
             out = fn(variables, images, qids, qvalid)
             jax.block_until_ready(out)
             ts = []
-            for _ in range(iters):
+            for i in range(iters):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(variables, images, qids, qvalid))
+                jax.block_until_ready(fn(variables, image_rot[i], qids,
+                                         qvalid))
                 ts.append(time.perf_counter() - t0)
             ms = 1000 * min(ts)
             print(json.dumps({"stage": name, "B": B,

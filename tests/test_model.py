@@ -128,6 +128,42 @@ class TestDecode:
                                    np.asarray(picked.sum(-1)),
                                    atol=1e-3, rtol=1e-4)
 
+    def test_beam_group_step_equals_tiled_kv(self, model_and_vars):
+        """text_step(beam_group=K) over UNTILED (B,.) memory K/V must equal
+        the plain step over K-fold pre-repeated K/V: the K beams of a sample
+        share cross-attention keys/values, so routing the beam axis through
+        the attention query-sequence axis is the same math (decode/beam.py
+        relies on this to avoid tiling the decode state K-fold)."""
+        from gpv_tpu.decode.greedy import init_cache
+        model, variables, imgs, qids = model_and_vars
+        memory, mem_valid, _ = model.apply(variables, imgs, qids,
+                                           method=GPV.encode)
+        K = 3
+        mem_state = model.apply(variables, memory,
+                                method=GPV.precompute_text_memory)
+        mem_kvs, classifier = mem_state
+        tiled_kvs = jax.tree.map(lambda x: jnp.repeat(x, K, axis=0), mem_kvs)
+        tiled_valid = (jnp.repeat(mem_valid, K, axis=0)
+                       if mem_valid is not None else None)
+
+        tok = jax.random.randint(jax.random.PRNGKey(7), (B * K,), 0, VOCAB)
+        cache_a = init_cache(model, B * K)
+        cache_b = init_cache(model, B * K)
+        for t in range(3):
+            logits_a, cache_a = model.apply(
+                variables, tok, mem_state, mem_valid, cache_a, t,
+                beam_group=K, method=GPV.text_step)
+            logits_b, cache_b = model.apply(
+                variables, tok, (tiled_kvs, classifier), tiled_valid,
+                cache_b, t, method=GPV.text_step)
+            np.testing.assert_allclose(np.asarray(logits_a),
+                                       np.asarray(logits_b),
+                                       atol=1e-5, rtol=1e-5)
+            tok = jnp.argmax(logits_a, axis=-1).astype(jnp.int32)
+        for ca, cb in zip(jax.tree.leaves(cache_a), jax.tree.leaves(cache_b)):
+            np.testing.assert_allclose(np.asarray(ca), np.asarray(cb),
+                                       atol=1e-5, rtol=1e-5)
+
     def test_beam_scores_sorted_and_consistent(self, model_and_vars):
         model, variables, imgs, qids = model_and_vars
         memory, mem_valid, _ = model.apply(variables, imgs, qids,
