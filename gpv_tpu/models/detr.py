@@ -38,6 +38,7 @@ class DETR(nn.Module):
     dropout: float = 0.1
     backbone_layers: tuple = (3, 4, 6, 3)
     dilation: bool = False
+    stem_s2d: bool = False  # exact space-to-depth stem (ops/stem_s2d.py)
     last_layer_only: bool = True
     aux_loss: bool = False
     roi_head: bool = True
@@ -61,7 +62,7 @@ class DETR(nn.Module):
         images = images.astype(self.dtype)  # halve HBM traffic into conv1
         feats = ResNet(layers=self.backbone_layers, return_layers=("layer4",),
                        dilate_c5=self.dilation, remat=self.remat,
-                       dtype=self.dtype,
+                       stem_s2d=self.stem_s2d, dtype=self.dtype,
                        name="backbone")(images)["layer4"]  # (B, h, w, 2048)
         h, w = feats.shape[1:3]
 

@@ -83,13 +83,25 @@ class ResNet(nn.Module):
     return_layers: Sequence[str] = ("layer4",)
     dilate_c5: bool = False
     remat: bool = False  # rematerialize whole stages under grad
+    stem_s2d: bool = False  # serving: space-to-depth stem (ops/stem_s2d.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        # stem: 7x7/2 conv, BN, ReLU, 3x3/2 maxpool (torch pads 3 and 1)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        # stem: 7x7/2 conv, BN, ReLU, 3x3/2 maxpool (torch pads 3 and 1).
+        # stem_s2d is the exact blocked rewrite: conv1 becomes 4x4/s1 over
+        # 2x2 space-to-depth input (weights via ops.stem_s2d, MXU-friendly
+        # 12 input channels instead of 3).
+        if self.stem_s2d:
+            from ..ops.stem_s2d import space_to_depth
+            x = space_to_depth(x)
+            x = nn.Conv(64, (4, 4), strides=(1, 1),
+                        padding=[(2, 1), (2, 1)], use_bias=False,
+                        dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

@@ -51,30 +51,52 @@ def main():
         return sum(jnp.sum(v.astype(jnp.float32))
                    for v in jax.tree.leaves(tree))
 
-    @jax.jit
-    def encode_only(variables, images, qids, qvalid):
-        memory, mem_valid, outputs = model.apply(
-            variables, images, qids, query_valid=qvalid, method=GPV.encode)
-        return checksum((memory, outputs["pred_boxes"],
-                         outputs["pred_relevance_logits"]))
+    def make_stages(model, tag=""):
+        @jax.jit
+        def encode_only(variables, images, qids, qvalid):
+            memory, mem_valid, outputs = model.apply(
+                variables, images, qids, query_valid=qvalid,
+                method=GPV.encode)
+            return checksum((memory, outputs["pred_boxes"],
+                             outputs["pred_relevance_logits"]))
 
-    @jax.jit
-    def full(variables, images, qids, qvalid):
-        memory, mem_valid, outputs = model.apply(
-            variables, images, qids, query_valid=qvalid, method=GPV.encode)
-        tokens, _ = greedy_decode(model, variables, memory, mem_valid,
-                                  cls_id)
-        return checksum((tokens, outputs["pred_boxes"])) + checksum(memory)
+        @jax.jit
+        def full(variables, images, qids, qvalid):
+            memory, mem_valid, outputs = model.apply(
+                variables, images, qids, query_valid=qvalid,
+                method=GPV.encode)
+            tokens, _ = greedy_decode(model, variables, memory, mem_valid,
+                                      cls_id)
+            return (checksum((tokens, outputs["pred_boxes"]))
+                    + checksum(memory))
 
-    @jax.jit
-    def full_beam5(variables, images, qids, qvalid):
-        # BASELINE config #4: VQA+Captioning with beam_size=5
-        from gpv_tpu.decode import beam_decode
-        memory, mem_valid, outputs = model.apply(
-            variables, images, qids, query_valid=qvalid, method=GPV.encode)
-        seqs, logp = beam_decode(model, variables, memory, mem_valid,
-                                 cls_id, 5)
-        return checksum((seqs, logp, outputs["pred_boxes"]))
+        @jax.jit
+        def full_beam5(variables, images, qids, qvalid):
+            # BASELINE config #4: VQA+Captioning with beam_size=5
+            from gpv_tpu.decode import beam_decode
+            memory, mem_valid, outputs = model.apply(
+                variables, images, qids, query_valid=qvalid,
+                method=GPV.encode)
+            seqs, logp = beam_decode(model, variables, memory, mem_valid,
+                                     cls_id, 5)
+            return checksum((seqs, logp, outputs["pred_boxes"]))
+
+        return ((f"encode_only{tag}", encode_only), (f"full{tag}", full),
+                (f"full_beam5{tag}", full_beam5))
+
+    variants = [(make_stages(model), variables)]
+    if args.get("s2d") == "1":
+        # exact space-to-depth stem rewrite (ops/stem_s2d.py): same session
+        # A/B against the plain stem
+        from gpv_tpu.ops.stem_s2d import apply_stem_s2d
+        model_s2d = GPV(vocab_size=VOCAB, max_text_len=MAX_TEXT_LEN,
+                        detr_cfg=dict(detr_cfg, stem_s2d=True),
+                        dtype=jnp.bfloat16)
+        variables_s2d = {
+            "params": jax.tree.map(jnp.asarray,
+                                   apply_stem_s2d(variables["params"])),
+            "batch_stats": variables["batch_stats"]}
+        variants.append((make_stages(model_s2d, "_s2d"), variables_s2d))
 
     for B in batches:
         images = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, 3),
@@ -86,21 +108,21 @@ def main():
         # the per-iteration wall time
         image_rot = [images + jnp.float32(i) * 1e-6 for i in range(iters)]
         jax.block_until_ready(image_rot)
-        for name, fn in (("encode_only", encode_only), ("full", full),
-                         ("full_beam5", full_beam5)):
-            out = fn(variables, images, qids, qvalid)
-            jax.block_until_ready(out)
-            ts = []
-            for i in range(iters):
-                t0 = time.perf_counter()
-                jax.block_until_ready(fn(variables, image_rot[i], qids,
-                                         qvalid))
-                ts.append(time.perf_counter() - t0)
-            ms = 1000 * min(ts)
-            print(json.dumps({"stage": name, "B": B,
-                              "ms": round(ms, 2),
-                              "img_per_sec": round(B / min(ts), 1)}),
-                  flush=True)
+        for stages, vv in variants:
+            for name, fn in stages:
+                out = fn(vv, images, qids, qvalid)
+                jax.block_until_ready(out)
+                ts = []
+                for i in range(iters):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(fn(vv, image_rot[i], qids,
+                                             qvalid))
+                    ts.append(time.perf_counter() - t0)
+                ms = 1000 * min(ts)
+                print(json.dumps({"stage": name, "B": B,
+                                  "ms": round(ms, 2),
+                                  "img_per_sec": round(B / min(ts), 1)}),
+                      flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,96 @@
+"""Decompose the stem cost: conv vs pool vs s2d-transpose vs blocked conv.
+
+Companion to bench_stem.py — identifies WHICH part of the stem the 3.9 ms
+(B=20) goes to, and whether the blocked 4x4 conv beats the 7x7 when the
+space-to-depth layout is produced upstream (where the prep pass already
+rewrites the image) instead of in-graph right before the conv.
+
+Usage: python scripts/bench_stem_parts.py [B=20] [iters=6] [scan_iters=20]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+H, W = 480, 640
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpv_tpu.ops.stem_s2d import s2d_stem_kernel, space_to_depth
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gpv_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    args = dict(a.split("=", 1) for a in sys.argv[1:])
+    B = int(args.get("B", "20"))
+    iters = int(args.get("iters", 6))
+    scan_iters = int(args.get("scan_iters", 20))
+
+    rng = np.random.RandomState(0)
+    k7 = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32), jnp.bfloat16)
+    k4 = jnp.asarray(s2d_stem_kernel(np.asarray(k7, np.float32)),
+                     jnp.bfloat16)
+    shift = jnp.asarray(rng.randn(64).astype(np.float32), jnp.bfloat16)
+
+    def conv(x, k, strides, padding):
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def pool(y):
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+    x0 = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32), jnp.bfloat16)
+    xb0 = jax.jit(space_to_depth)(x0)          # (B, H/2, W/2, 12)
+    y0 = jax.jit(lambda x: jax.nn.relu(
+        conv(x, k7, (2, 2), [(3, 3), (3, 3)]) + shift))(x0)
+
+    parts = {
+        "conv7_relu": (lambda x: jax.nn.relu(
+            conv(x, k7, (2, 2), [(3, 3), (3, 3)]) + shift), x0),
+        "conv4_relu_preblocked": (lambda xb: jax.nn.relu(
+            conv(xb, k4, (1, 1), [(2, 1), (2, 1)]) + shift), xb0),
+        "s2d_transpose": (space_to_depth, x0),
+        "maxpool": (pool, y0),
+    }
+
+    def scanned(fn, shape_in):
+        @jax.jit
+        def run(x):
+            def body(carry, _):
+                y = fn(x + carry)
+                return jnp.mean(y).astype(x.dtype) * 1e-6, jnp.sum(
+                    y.astype(jnp.float32))
+            _, sums = jax.lax.scan(body, jnp.bfloat16(0.0), None,
+                                   length=scan_iters)
+            return jnp.sum(sums)
+        return run
+
+    for name, (fn, base) in parts.items():
+        run = scanned(fn, base.shape)
+        rot = [base + jnp.bfloat16(i) * jnp.bfloat16(1e-3)
+               for i in range(iters)]
+        jax.block_until_ready(rot)
+        jax.block_until_ready(run(base))
+        ts = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(rot[i]))
+            ts.append(time.perf_counter() - t0)
+        per_iter = 1000 * min(ts) / scan_iters
+        print(json.dumps({"part": name, "B": B,
+                          "ms": round(per_iter, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
