@@ -50,6 +50,30 @@ def main():
             y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
             [(0, 0), (1, 1), (1, 1), (0, 0)])
 
+    def pool_sep(y):
+        # max is separable: rows then cols (exact same result)
+        r = jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
+            [(0, 0), (1, 1), (0, 0), (0, 0)])
+        return jax.lax.reduce_window(
+            r, -jnp.inf, jax.lax.max, (1, 1, 3, 1), (1, 1, 2, 1),
+            [(0, 0), (0, 0), (1, 1), (0, 0)])
+
+    def pool_slices(y):
+        # 9 strided slices + maximum tree (one fused pointwise pass)
+        Bb, Hh, Ww, Cc = y.shape
+        Ho, Wo = (Hh + 1) // 2, (Ww + 1) // 2
+        yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=-jnp.inf)
+        out = None
+        for dy in range(3):
+            for dx in range(3):
+                s = jax.lax.slice(yp, (0, dy, dx, 0),
+                                  (Bb, dy + 2 * Ho - 1, dx + 2 * Wo - 1, Cc),
+                                  (1, 2, 2, 1))
+                out = s if out is None else jnp.maximum(out, s)
+        return out
+
     x0 = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32), jnp.bfloat16)
     xb0 = jax.jit(space_to_depth)(x0)          # (B, H/2, W/2, 12)
     y0 = jax.jit(lambda x: jax.nn.relu(
@@ -62,7 +86,21 @@ def main():
             conv(xb, k4, (1, 1), [(2, 1), (2, 1)]) + shift), xb0),
         "s2d_transpose": (space_to_depth, x0),
         "maxpool": (pool, y0),
+        "maxpool_sep": (pool_sep, y0),
+        "maxpool_slices": (pool_slices, y0),
+        "stem_full": (lambda x: pool(jax.nn.relu(
+            conv(x, k7, (2, 2), [(3, 3), (3, 3)]) + shift)), x0),
+        "stem_full_sep": (lambda x: pool_sep(jax.nn.relu(
+            conv(x, k7, (2, 2), [(3, 3), (3, 3)]) + shift)), x0),
+        "stem_full_slices": (lambda x: pool_slices(jax.nn.relu(
+            conv(x, k7, (2, 2), [(3, 3), (3, 3)]) + shift)), x0),
     }
+
+    # exactness of the pool variants before timing them
+    ref = np.asarray(jax.jit(pool)(y0), np.float32)
+    for nm, fn in (("sep", pool_sep), ("slices", pool_slices)):
+        got = np.asarray(jax.jit(fn)(y0), np.float32)
+        assert got.shape == ref.shape and (got == ref).all(), nm
 
     def scanned(fn, shape_in):
         @jax.jit
