@@ -384,6 +384,10 @@ def build_gpv(cfg, vocab_size: int, dtype=jnp.float32,
         aux_loss=cfg.detr.aux_loss,
         position_embedding=str(cfg.detr.get("position_embedding", "sine")),
         pre_norm=bool(cfg.detr.get("pre_norm", False)),
+        # serving-graph stem rewrite (ops/stem_s2d.py); pair with
+        # apply_stem_s2d on the params — measured slower on v5e
+        # (BASELINE.md "r4 space-to-depth stem"), kept for other hw
+        stem_s2d=bool(cfg.detr.get("stem_s2d", False)),
     )
     if cfg.detr.get("backbone_layers"):
         # explicit block spec (tests / custom depths) wins over the name

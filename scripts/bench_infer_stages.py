@@ -106,7 +106,10 @@ def main():
         # one distinct device buffer per timed call: the relay serves
         # byte-identical repeat dispatches from a cache, which would fake
         # the per-iteration wall time
-        image_rot = [images + jnp.float32(i) * 1e-6 for i in range(iters)]
+        # (i+1): i=0 would be byte-identical to the warmup input and could
+        # be served by the relay dedup cache (min-of-N would pick the fake)
+        image_rot = [images + jnp.float32(i + 1) * 1e-6
+                     for i in range(iters)]
         jax.block_until_ready(image_rot)
         for stages, vv in variants:
             for name, fn in stages:

@@ -91,7 +91,8 @@ def main():
             if dtype == jnp.int8:
                 xs.append(x0 ^ jnp.int8(i + 1))
             else:
-                xs.append(x0 + dtype(i) * dtype(1e-3))
+                # (i+1): i=0 would be byte-identical to the warmup input
+                xs.append(x0 + dtype(i + 1) * dtype(1e-3))
         jax.block_until_ready(xs)
         jax.block_until_ready(fn(x0))
         ts = []

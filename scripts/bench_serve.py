@@ -119,11 +119,14 @@ def main():
     rows = []
     for B in batches:
         buckets = sorted({1, 8, B})
+        # in beam mode skip the server's greedy warmup entirely: an
+        # all-beam sweep never runs those executables, and each unused
+        # greedy compile costs minutes through the relay
         server = GPVServer(eng, max_wait_ms=5.0, num_workers=2,
-                           bucket_sizes=buckets, warmup=(H, W))
+                           bucket_sizes=buckets,
+                           warmup=None if beam else (H, W))
         if beam:
-            # GPVServer.warmup covers greedy executables only; compile
-            # the beam executable per bucket before any timed work
+            # compile the beam executable per bucket before any timed work
             for b in buckets:
                 eng.predict_beam(np.zeros((b, H, W, 3), np.uint8),
                                  ["warm up"] * b, beam_size=beam)

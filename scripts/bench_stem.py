@@ -65,7 +65,11 @@ def main():
     def scanned(stem):
         # chain iterations through a data dependence (fold the pooled
         # mean back into the next input) so XLA can't parallelize or
-        # elide the repeats; checksum output forces a real device sync
+        # elide the repeats; checksum output forces a real device sync.
+        # Soundness: the carry multiplier is 1e-6 (NOT 0), so carry+x is
+        # not foldable to x and the body is not loop-invariant — each
+        # iteration's stem input genuinely differs (cf. BASELINE.md "r4
+        # hardware calibration" for the x+s*0 pattern that DOES elide)
         @jax.jit
         def fn(x):
             def body(carry, _):
@@ -80,7 +84,9 @@ def main():
     for B in batches:
         x0 = jnp.asarray(
             rng.randn(B, H, W, 3).astype(np.float32), jnp.bfloat16)
-        xs = [x0 + jnp.bfloat16(i) * jnp.bfloat16(1e-3)
+        # (i+1): i=0 would be byte-identical to the warmup input (relay
+        # dedup cache would serve it and min-of-N would pick the fake)
+        xs = [x0 + jnp.bfloat16(i + 1) * jnp.bfloat16(1e-3)
               for i in range(iters)]
         jax.block_until_ready(xs)
         for name, stem in (("stem7x7", stem_plain), ("stem_s2d", stem_s2d)):

@@ -1,4 +1,5 @@
-"""Decompose the stem cost: conv vs pool vs s2d-transpose vs blocked conv.
+"""Decompose the stem cost: conv vs pool vs blocked conv (s2d transpose
+priced as s2d_then_conv4_relu minus conv4_relu_preblocked).
 
 Companion to bench_stem.py — identifies WHICH part of the stem the 3.9 ms
 (B=20) goes to, and whether the blocked 4x4 conv beats the 7x7 when the
@@ -84,7 +85,13 @@ def main():
             conv(x, k7, (2, 2), [(3, 3), (3, 3)]) + shift), x0),
         "conv4_relu_preblocked": (lambda xb: jax.nn.relu(
             conv(xb, k4, (1, 1), [(2, 1), (2, 1)]) + shift), xb0),
-        "s2d_transpose": (space_to_depth, x0),
+        # NB: a bare space_to_depth part would measure nothing — its only
+        # consumers would be reductions, which XLA folds straight through
+        # transposes/reshapes. Price the transpose as (s2d+conv4) minus
+        # conv4_relu_preblocked instead: the conv consumer pins the layout.
+        "s2d_then_conv4_relu": (lambda x: jax.nn.relu(
+            conv(space_to_depth(x), k4, (1, 1), [(2, 1), (2, 1)])
+            + shift), x0),
         "maxpool": (pool, y0),
         "maxpool_sep": (pool_sep, y0),
         "maxpool_slices": (pool_slices, y0),
@@ -102,7 +109,9 @@ def main():
         got = np.asarray(jax.jit(fn)(y0), np.float32)
         assert got.shape == ref.shape and (got == ref).all(), nm
 
-    def scanned(fn, shape_in):
+    def scanned(fn):
+        # soundness: carry multiplier 1e-6 (not 0) — the body input
+        # x + carry is not foldable to x, so iterations can't be elided
         @jax.jit
         def run(x):
             def body(carry, _):
@@ -115,8 +124,9 @@ def main():
         return run
 
     for name, (fn, base) in parts.items():
-        run = scanned(fn, base.shape)
-        rot = [base + jnp.bfloat16(i) * jnp.bfloat16(1e-3)
+        run = scanned(fn)
+        # (i+1): i=0 would be byte-identical to the warmup dispatch
+        rot = [base + jnp.bfloat16(i + 1) * jnp.bfloat16(1e-3)
                for i in range(iters)]
         jax.block_until_ready(rot)
         jax.block_until_ready(run(base))

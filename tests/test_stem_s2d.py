@@ -4,6 +4,8 @@ The s2d stem (gpv_tpu/ops/stem_s2d.py) must be numerically equivalent to
 the reference stem conv (torchvision resnet50 conv1, 7x7/s2/pad3 —
 reference exp/gpv/models/backbone.py:82-99): same multiply-adds, blocked.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -93,3 +95,21 @@ class TestResNetParity:
     def test_transform_requires_a_stem(self):
         with pytest.raises(ValueError, match="no 7x7"):
             apply_stem_s2d({"dense": {"kernel": np.zeros((8, 8))}})
+
+
+class TestConfigPath:
+    def test_build_gpv_forwards_stem_s2d(self):
+        """The documented `model.detr.stem_s2d=true` override must reach
+        the DETR module (build_gpv whitelists detr keys explicitly)."""
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from gpv_tpu.models.gpv import build_gpv
+        from gpv_tpu.utils.config import load_config
+        from test_schema_sweep import TINY
+
+        cfg = load_config("configs", "exp/gpv",
+                          TINY + ["model.detr.stem_s2d=true"]).model
+        model = build_gpv(cfg, vocab_size=50)
+        assert model.detr_cfg["stem_s2d"] is True
+        cfg0 = load_config("configs", "exp/gpv", TINY).model
+        assert build_gpv(cfg0, vocab_size=50).detr_cfg["stem_s2d"] is False
