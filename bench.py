@@ -129,10 +129,13 @@ def main():
     tokens, _, _ = infer(variables, images, query_ids, query_valid)
     np.asarray(tokens)
 
-    # distinct device input buffers per in-flight slot: the relay may dedup
-    # identical concurrent dispatches, which would fake the pipelined rate
-    image_rot = [images + jnp.float32(i) * 1e-6
-                 for i in range(PIPELINE_DEPTH + 1)]
+    # one DISTINCT device input buffer per timed iteration: the relay
+    # dedups byte-identical dispatches (concurrent or repeated), so both
+    # reusing a slot's buffer across iterations and re-sending the warmup
+    # input (i=0 would equal `images` bitwise) would let cached replies
+    # fake the pipelined rate. ~74 MB x N_ITERS fits comfortably in HBM.
+    image_rot = [images + jnp.float32(i + 1) * 1e-6
+                 for i in range(N_ITERS)]
     jax.block_until_ready(image_rot)
 
     # Pipelined timing: fetch batch i-1's result AFTER dispatching batch i,
@@ -144,7 +147,7 @@ def main():
     with cf.ThreadPoolExecutor(PIPELINE_DEPTH) as pool:
         fetches = []
         for i in range(N_ITERS):
-            tokens, _, _ = infer(variables, image_rot[i % len(image_rot)],
+            tokens, _, _ = infer(variables, image_rot[i],
                                  query_ids, query_valid)
             fetches.append(pool.submit(np.asarray, tokens))
         for f in fetches:
