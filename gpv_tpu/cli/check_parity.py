@@ -67,8 +67,12 @@ def main(argv=None):
 
     img = load_image(args["image"])
     if args.get("resize", "false").lower() == "true":
+        # skimage-0.17.2-exact by default: this CLI exists to reproduce the
+        # reference's released-checkpoint numbers, where the eval pixel
+        # path (coco_generic_dataset.py:61) gates every downstream output
         img = resize_uint8(img, int(cfg.task_configs.image_size.H),
-                           int(cfg.task_configs.image_size.W))
+                           int(cfg.task_configs.image_size.W),
+                           method=args.get("resize_method", "exact"))
     out = engine.predict(img[None], [args["query"]])[0]
     result = {"answer": out["answer"],
               "boxes": np.asarray(out["boxes"]).tolist(),

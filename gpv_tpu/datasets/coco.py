@@ -53,14 +53,33 @@ def _get_native_resize():
 
 
 def resize_uint8(img: np.ndarray, h: int, w: int,
-                 use_native: bool = False) -> np.ndarray:
-    """Host bilinear resize: PIL (anti-aliased, default) or the native C++
-    kernel (`use_native=True`, point-sampled bilinear — faster, used by the
-    training input pipeline where augmentation noise dominates)."""
-    if use_native:
+                 use_native: bool = False, method: str = "pil") -> np.ndarray:
+    """Host resize to uint8. Methods:
+
+    - "pil" (default): PIL bilinear — fast (~5 ms/img); interior divergence
+      from the reference path is at uint8-quantization level for upscales
+      and <=0.1 for downscales, border row/col up to ~0.4 on hard edges
+      (PIL edge-clamps, skimage mirrors) — measured in
+      tests/test_skimage_resize.py, recorded PARITY.md #7.
+    - "native": C++ point-sampled bilinear (fastest; training pipeline,
+      where augmentation noise dominates).
+    - "exact": skimage-0.17.2-exact anti-aliased path (the reference's
+      eval pixels, `datasets/coco_generic_dataset.py:61`) rounded to uint8
+      — residual divergence <= 1/510 per pixel; ~100-300 ms/img fp64, the
+      cost the reference itself paid per image. Use for released-checkpoint
+      numeric parity (cli/check_parity.py defaults to it).
+    """
+    if use_native or method == "native":
         fn = _get_native_resize()
         if fn is not None:
             return fn(img.astype(np.uint8), h, w)
+    elif method == "exact":
+        from ..data.skimage_resize import skimage_resize_exact
+        out = skimage_resize_exact(img.astype(np.uint8), (h, w),
+                                   anti_aliasing=True)
+        return np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
+    elif method != "pil":
+        raise ValueError(f"unknown resize method {method!r}")
     return np.asarray(
         Image.fromarray(img.astype(np.uint8)).resize((w, h),
                                                      Image.BILINEAR))
@@ -85,6 +104,8 @@ class GenericCocoDataset:
         self.imh = int(cfg.image_size.H)
         self.imw = int(cfg.image_size.W)
         self.read_image = bool(cfg.get("read_image", True))
+        # host_resize: pil (default) | native | exact — see resize_uint8
+        self.resize_method = str(cfg.get("host_resize", "pil"))
         samples = json.loads(Path(cfg.samples[subset]).read_text())
         max_samples = (cfg.get("max_samples") or {}).get(subset)
         if max_samples is not None:
@@ -102,7 +123,8 @@ class GenericCocoDataset:
                                sample["image"]["image_id"])
         img = load_image(path)
         original_size = img.shape[:2]
-        img = resize_uint8(img, self.imh, self.imw)
+        img = resize_uint8(img, self.imh, self.imw,
+                           method=self.resize_method)
         return img, original_size
 
     def get_boxes_cxcywh(self, coco_boxes) -> np.ndarray:
@@ -184,7 +206,8 @@ class CocoClassification(GenericCocoDataset):
         y2 = min(max(0, int(y + 1.2 * h)), H)
         crop = img[y1:y2, x1:x2]
         original_size = crop.shape[:2]
-        return resize_uint8(crop, self.imh, self.imw), original_size
+        return (resize_uint8(crop, self.imh, self.imw,
+                             method=self.resize_method), original_size)
 
 
 class CocoVqaTestOriginalSplit(CocoVqa):

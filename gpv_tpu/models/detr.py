@@ -129,7 +129,14 @@ class DETR(nn.Module):
             out["aux_pred_boxes"] = outputs_coord[:-1]
 
         if self.roi_head:
-            roi = roi_align_mean_pooled(feats, out["pred_boxes"],
+            # no gradient into the box COORDINATES: torchvision.ops.roi_align
+            # (the reference's extractor, detr_roi_head.py:45-55) only
+            # implements backward w.r.t. the input features — rois get no
+            # grad — so bbox_embed must not receive a pooling-path gradient
+            # (verified against torch in tests/test_reference_train_parity.py)
+            roi = roi_align_mean_pooled(feats,
+                                        jax.lax.stop_gradient(
+                                            out["pred_boxes"]),
                                         pooled=self.roi_pooled,
                                         max_grid=self.roi_max_grid)  # (B,Q,2048)
             roi = roi[None].astype(self.dtype)  # (1,B,Q,2048)

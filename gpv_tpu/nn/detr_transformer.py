@@ -4,7 +4,10 @@ Behavior spec: reference `exp/gpv/models/transformer.py` — 6+6 layers, d=256,
 8 heads, FFN 2048, ReLU, positional encodings ADDED TO Q/K at every layer
 (not to the input), decoder runs 100 learned queries from a zero target and
 returns the per-layer intermediate states, each passed through the shared
-final LayerNorm. Batch-first (B, T, D) layout throughout (the reference's
+final LayerNorm (all eps 1e-5, the torch nn.LayerNorm default — flax's 1e-6
+default diverges sharply in the BACKWARD at decoder layer 0, where the
+self-attn output is exactly zero at init and the LN grad scales by
+1/sqrt(var+eps)). Batch-first (B, T, D) layout throughout (the reference's
 (T, B, D) permutes are a torch MHA artifact with no TPU benefit).
 """
 from __future__ import annotations
@@ -27,8 +30,8 @@ class EncoderLayer(nn.Module):
     def __call__(self, src, pos, key_valid=None, deterministic=True):
         attn_mod = MultiHeadAttention(self.dim, self.num_heads, self.dropout,
                                       self.dtype, name="self_attn")
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
         linear1 = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")
         linear2 = nn.Dense(self.dim, dtype=self.dtype, name="linear2")
 
@@ -66,9 +69,9 @@ class DecoderLayer(nn.Module):
         cross_attn = MultiHeadAttention(self.dim, self.num_heads,
                                         self.dropout, self.dtype,
                                         name="cross_attn")
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
-        norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")
         linear1 = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")
         linear2 = nn.Dense(self.dim, dtype=self.dtype, name="linear2")
 
@@ -129,13 +132,13 @@ class DetrTransformer(nn.Module):
         if self.pre_norm:
             # pre-norm encoders end un-normalized; the reference adds a
             # final encoder LayerNorm (transformer.py:27)
-            memory = nn.LayerNorm(dtype=self.dtype,
+            memory = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                   name="encoder_norm")(memory)
 
         query_pos = jnp.broadcast_to(query_embed[None].astype(self.dtype),
                                      (B, *query_embed.shape))
         tgt = jnp.zeros_like(query_pos)
-        final_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        final_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
         intermediate = []
         for i in range(self.num_decoder_layers):
             tgt = Dec(self.dim, self.num_heads, self.ffn_dim,

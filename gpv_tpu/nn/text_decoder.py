@@ -38,9 +38,9 @@ class TextDecoderLayer(nn.Module):
                                              self.dropout, self.dtype)
         self.linear1 = nn.Dense(self.ffn_dim, dtype=self.dtype)
         self.linear2 = nn.Dense(self.dim, dtype=self.dtype)
-        self.norm1 = nn.LayerNorm(dtype=self.dtype)
-        self.norm2 = nn.LayerNorm(dtype=self.dtype)
-        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.drop = nn.Dropout(self.dropout)
 
     def _ffn(self, x, deterministic):

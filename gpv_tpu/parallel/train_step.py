@@ -18,7 +18,7 @@ import optax
 from flax import struct
 
 from ..losses.criterion import LossConfig, gpv_criterion
-from ..train.optimizer import clip_detr_grads
+from ..train.optimizer import clip_detr_grads, param_group
 from .mesh import batch_sharding, replicated
 
 
@@ -68,6 +68,17 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     """
 
     def loss_fn(params, batch_stats, batch, rng):
+        # Permanently-frozen backbone stem (reference Backbone sets
+        # requires_grad_(False) on conv1+layer1, backbone.py:61-63, in EVERY
+        # phase): stop_gradient lets XLA DCE the whole backward below layer2
+        # — the highest-resolution convs — and keeps the detr clip norm
+        # torch-exact (torch's clip_grad_norm_ skips grad-None params).
+        params = dict(params)
+        params["detr"] = jax.tree_util.tree_map_with_path(
+            lambda p, x: jax.lax.stop_gradient(x)
+            if param_group(("detr",) + tuple(k.key for k in p)) == "frozen"
+            else x,
+            params["detr"])
         if freeze_detr:
             # phase-1 frozen-DETR schedule: stop_gradient lets XLA ELIMINATE
             # the entire backward through the DETR tower (the reference's
@@ -78,7 +89,6 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
             # initialized — reference init_detr_params) restricts the
             # freeze to exactly those leaves; a non-loaded detr param
             # (shape-mismatched class_embed etc.) keeps its gradient.
-            params = dict(params)
             if frozen_detr_paths is None:
                 params["detr"] = jax.lax.stop_gradient(params["detr"])
             else:

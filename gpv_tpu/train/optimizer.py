@@ -14,6 +14,10 @@ implemented in the train step, not here.
 Frozen subtrees (TPU style — optimizer masking instead of requires_grad):
   - `bert` (reference: no_grad+detach)
   - `vocab_embed` (reference: nn.Parameter(requires_grad=False))
+  - backbone conv1+layer1 (reference Backbone requires_grad_(False) on every
+    body param without layer2/3/4 in its name, backbone.py:61-63)
+  - `vision_token`/`lang_token` (dead params — grad None upstream, AdamW
+    skips them; see param_group)
   - all `detr` params when `training.freeze` (phase-1 frozen-DETR schedule)
 """
 from __future__ import annotations
@@ -30,9 +34,28 @@ def param_group(path: tuple) -> str:
     keys = [str(k) for k in path]
     name = "/".join(keys)
     if name.startswith("detr/backbone"):
+        # the reference Backbone permanently freezes every resnet body param
+        # whose name lacks layer2/3/4 — conv1 + all of layer1
+        # (backbone.py:61-63, requires_grad_(False) regardless of phase);
+        # FrozenBN scale/bias live in batch_stats here, never params
+        if len(keys) > 2 and keys[2] in ("layer2", "layer3", "layer4"):
+            return "detr_backbone"
+        return "frozen"
+    if keys[0] == "detr" and keys[1:2] == ["position_embedding"]:
+        # learned 2-D pos embedding: upstream it lives at detr.backbone.1.*
+        # (the Joiner), so the 'detr.backbone' substring puts it in the
+        # BACKBONE lr group, but BackboneBase freezes only body params —
+        # it keeps training (train_distr.py:237, backbone.py:61)
         return "detr_backbone"
     if keys[0] == "detr":
         return "detr_head"
+    if keys[0] in ("vision_token", "lang_token"):
+        # dead params: the reference only reads .device off them
+        # (gpv.py:138) so their grad stays None and torch AdamW skips them
+        # entirely — no update, no weight decay. optax.adamw would still
+        # decay a zero-grad param, so they get the frozen (set_to_zero)
+        # label; kept as params at all for released-checkpoint compat.
+        return "frozen"
     if keys[0] == "detr_joiner":
         # upstream this falls in the lr-group 'detr_head' ('detr' substring
         # match, train_distr.py:237) with IDENTICAL lr/wd to 'others', is
@@ -53,15 +76,26 @@ def group_labels(params) -> Any:
 
 def warmup_linear_schedule(base_lr: float, total_steps: int,
                            warmup_fraction: float) -> optax.Schedule:
-    warmup = max(int(warmup_fraction * total_steps), 1)
+    """LR at optimizer update n (0-indexed) = base * lam(n+1), where lam is
+    pytorch_transformers' WarmupLinearSchedule.lr_lambda.
+
+    The +1: torch's LambdaLR calls step() once at construction (the reference
+    passes last_epoch=step=0, valid because the MultiStepLR built first set
+    initial_lr, train_distr.py:287-305), so the scheduler counter leads the
+    update index by one — verified empirically against torch and locked in by
+    tests/test_reference_train_parity.py. warmup_steps stays FRACTIONAL
+    (lr_warmup_fraction * t_total, train_distr.py:294-305) exactly as
+    pytorch_transformers treats it (no int()).
+    """
+    warmup = warmup_fraction * total_steps
 
     def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
-        w = step / warmup
+        n = jnp.asarray(step, jnp.float32) + 1.0
+        w = n / jnp.maximum(warmup, 1.0)
         d = jnp.maximum(
-            (total_steps - step) / jnp.maximum(total_steps - warmup, 1.0),
+            (total_steps - n) / jnp.maximum(total_steps - warmup, 1.0),
             0.0)
-        return base_lr * jnp.where(step < warmup, w, d)
+        return base_lr * jnp.where(n < warmup, w, d)
 
     return schedule
 

@@ -9,11 +9,15 @@ from gpv_tpu.utils.visualize import vis_sample as _vis_sample
 
 
 def read_image(image_path: str, resize_image: bool = True,
-               imh: int = 480, imw: int = 640) -> np.ndarray:
-    """-> (H, W, 3) uint8; optionally resized to the task 480x640."""
+               imh: int = 480, imw: int = 640,
+               method: str = "pil") -> np.ndarray:
+    """-> (H, W, 3) uint8; optionally resized to the task 480x640.
+
+    method="exact" reproduces the reference's skimage-0.17.2 anti-aliased
+    pixels (reference inference_util.py:22) up to uint8 rounding."""
     img = load_image(image_path)
     if resize_image:
-        img = resize_uint8(img, imh, imw)
+        img = resize_uint8(img, imh, imw, method=method)
     return img
 
 

@@ -119,7 +119,10 @@ def _cpu_cuda_noop():
 
 
 def sd_np(module, prefix=""):
-    return {prefix + k: v.detach().cpu().numpy()
+    # .copy(): .numpy() on a CPU tensor is a VIEW of torch storage, and
+    # in-place mutation (optimizer.step) would silently corrupt converted
+    # trees captured earlier (bit us in test_reference_train_parity)
+    return {prefix + k: v.detach().cpu().numpy().copy()
             for k, v in module.state_dict().items()}
 
 

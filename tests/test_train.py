@@ -70,18 +70,36 @@ class TestMeshValidation:
 
 class TestOptimizer:
     def test_param_groups(self):
-        assert param_group(("detr", "backbone", "conv1", "kernel")) == "detr_backbone"
+        # backbone stem is PERMANENTLY frozen upstream (Backbone sets
+        # requires_grad_(False) on every body param without layer2/3/4 in
+        # its name, backbone.py:61-63) — only layer2/3/4 get backbone lr
+        assert param_group(("detr", "backbone", "conv1", "kernel")) == "frozen"
+        assert param_group(("detr", "backbone", "layer1", "block0", "conv1",
+                            "kernel")) == "frozen"
+        for layer in ("layer2", "layer3", "layer4"):
+            assert param_group(("detr", "backbone", layer, "block0", "conv1",
+                                "kernel")) == "detr_backbone"
+        # learned 2-D posenc: upstream name detr.backbone.1.* -> backbone lr
+        # group, but NOT frozen (BackboneBase only freezes body params)
+        assert param_group(("detr", "position_embedding",
+                            "row_embed")) == "detr_backbone"
         assert param_group(("detr", "transformer", "x")) == "detr_head"
         assert param_group(("detr_joiner", "kernel")) == "detr_joiner"
         assert param_group(("bert", "layer0", "x")) == "frozen"
         assert param_group(("vocab_embed",)) == "frozen"
+        # dead params (upstream grad stays None, AdamW skips them)
+        assert param_group(("vision_token",)) == "frozen"
+        assert param_group(("lang_token",)) == "frozen"
         assert param_group(("co_att0", "dense1", "kernel")) == "others"
 
     def test_warmup_linear(self):
+        # lr at update n = base * lam(n+1) — torch LambdaLR constructor-step
+        # semantics (see warmup_linear_schedule docstring); warmup=10 steps
         s = warmup_linear_schedule(1.0, 100, 0.1)
-        assert abs(float(s(5)) - 0.5) < 1e-6
-        assert abs(float(s(10)) - 1.0) < 1e-6
-        assert abs(float(s(55)) - 0.5) < 1e-6
+        assert abs(float(s(4)) - 0.5) < 1e-6   # lam(5) = 5/10
+        assert abs(float(s(9)) - 1.0) < 1e-6   # lam(10) = (100-10)/90
+        assert abs(float(s(54)) - (100 - 55) / 90.0) < 1e-6
+        assert float(s(99)) == 0.0             # lam(100) = 0
         assert float(s(100)) == 0.0
 
 
@@ -292,11 +310,33 @@ class TestGradAccumulation:
                   "loss_bbox", "loss_giou", "total_loss"):
             np.testing.assert_allclose(float(l2[k]), float(l1[k]),
                                        rtol=2e-4, atol=2e-4, err_msg=k)
-        # params after the step agree too
-        d = jax.tree.map(
-            lambda a, b: float(jnp.max(jnp.abs(a - b))),
-            s1.params, s2.params)
-        assert max(jax.tree.leaves(d)) < 5e-5
+        # params after the step agree too. Adam normalizes per element, so
+        # where the TRUE gradient is ~0 the fp32 summation ORDER (2 halves
+        # vs 1 batch) decides the sign and the update flips by up to
+        # ~2*lr_t — a property of Adam, not an accumulation bug. Two
+        # classes of directions have MATHEMATICALLY zero gradient by
+        # softmax shift-invariance, so their "gradient" is pure noise:
+        #   - key-projection biases (adding b to every key shifts each
+        #     query's logits by the same q.b -> softmax unchanged)
+        #   - classifier_transform bias (adds h.b uniformly across the
+        #     vocab logits -> CE unchanged)
+        # Those may flip by a full update; everything else must match to
+        # reassociation noise, with a small allowance for genuinely-tiny
+        # gradient elements.
+        ZERO_GRAD_DIRS = ("k_proj/bias", "key1/bias", "key2/bias",
+                          "classifier_transform/bias")
+        flips = 0
+        for (path, a), b in zip(
+                jax.tree_util.tree_flatten_with_path(s1.params)[0],
+                jax.tree.leaves(s2.params)):
+            name = "/".join(str(k.key) for k in path)
+            d = np.abs(np.asarray(a) - np.asarray(b))
+            if name.endswith(ZERO_GRAD_DIRS):
+                assert float(d.max()) < 2.5e-3, name  # |2 * lr_t| bound
+                continue
+            assert float(d.max()) < 2e-4, name
+            flips += int((d > 5e-5).sum())
+        assert flips <= 32, f"{flips} elements beyond reassociation noise"
 
     def test_accum_on_mesh_runs_finite(self):
         mesh = make_mesh(data=8)
@@ -428,20 +468,12 @@ class TestQueryDedup:
     the unique rows once, outside the grad-accum scan. Must be EXACT."""
 
     def _dedup_fields(self, batch, bucket=4):
-        """Build the dedup emission the collator would (same algorithm)."""
-        q = batch["query_ids"]
-        uniq, first, inverse = np.unique(q, axis=0, return_index=True,
-                                         return_inverse=True)
-        U = max(bucket, ((len(uniq) + bucket - 1) // bucket) * bucket)
-        pad = U - len(uniq)
+        """The EXACT production emission (Collator.dedup_emission), incl.
+        the U-capped-at-B rule — not a re-implementation."""
+        from gpv_tpu.datasets.loader import Collator
         out = dict(batch)
-        out["query_uniq_ids"] = np.concatenate(
-            [uniq, np.broadcast_to(uniq[:1], (pad, uniq.shape[1]))])
-        out["query_uniq_valid"] = np.concatenate(
-            [batch["query_valid"][first],
-             np.broadcast_to(batch["query_valid"][first[:1]],
-                             (pad, q.shape[1]))])
-        out["query_gather"] = inverse.astype(np.int32).reshape(len(q))
+        out.update(Collator.dedup_emission(batch["query_ids"],
+                                           batch["query_valid"], bucket))
         return out
 
     def test_collator_emission_roundtrip(self):
