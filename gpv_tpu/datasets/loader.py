@@ -23,11 +23,18 @@ from ..text.wordpiece import WordPieceTokenizer
 
 
 class Collator:
+    # default unique-query bucket; the trainer validates this against the
+    # mesh data-axis size when query_dedup is on (every emitted U is a
+    # bucket multiple capped at B, and the batch pytree is data-sharded)
+    DEDUP_BUCKET = 16
+
     def __init__(self, vocab: AnswerVocab, tokenizer: WordPieceTokenizer,
                  max_text_len: int = 20, max_query_len: int = 20,
                  max_target_boxes: int = 64,
                  answering_type: str = "generation",
-                 dedup_queries: bool = False, dedup_bucket: int = 16):
+                 dedup_queries: bool = False, dedup_bucket: int = None):
+        if dedup_bucket is None:
+            dedup_bucket = self.DEDUP_BUCKET
         self.vocab = vocab
         self.tokenizer = tokenizer
         self.max_text_len = max_text_len
@@ -85,24 +92,38 @@ class Collator:
             "has_boxes": has_boxes,
         }
         if self.dedup_queries:
-            uniq, first, inverse = np.unique(
-                query_ids, axis=0, return_index=True, return_inverse=True)
-            bucket = self.dedup_bucket
-            U = min(B, max(bucket,
-                           ((len(uniq) + bucket - 1) // bucket) * bucket))
-            pad = U - len(uniq)  # >= 0: len(uniq) <= B and U caps at B
-            uniq_ids = np.concatenate(
-                [uniq, np.broadcast_to(uniq[:1], (pad, uniq.shape[1]))])
-            uniq_valid = np.concatenate(
-                [query_valid[first],
-                 np.broadcast_to(query_valid[first[:1]],
-                                 (pad, query_valid.shape[1]))])
-            batch["query_uniq_ids"] = np.ascontiguousarray(uniq_ids)
-            batch["query_uniq_valid"] = np.ascontiguousarray(uniq_valid)
-            batch["query_gather"] = inverse.astype(np.int32).reshape(B)
+            batch.update(self.dedup_emission(query_ids, query_valid,
+                                             self.dedup_bucket))
         if "image" in items[0]:
             batch["image"] = np.stack([it["image"] for it in items])
         return batch
+
+    @classmethod
+    def dedup_emission(cls, query_ids: np.ndarray, query_valid: np.ndarray,
+                       bucket: int = None) -> Dict[str, np.ndarray]:
+        """The dedup fields for a batch of tokenized queries: unique rows
+        padded up to a `bucket` multiple, CAPPED at B, plus gather-back
+        indices. One definition shared by the collator and the train-step
+        parity tests so they exercise the exact production emission."""
+        if bucket is None:
+            bucket = cls.DEDUP_BUCKET
+        B = len(query_ids)
+        uniq, first, inverse = np.unique(
+            query_ids, axis=0, return_index=True, return_inverse=True)
+        U = min(B, max(bucket,
+                       ((len(uniq) + bucket - 1) // bucket) * bucket))
+        pad = U - len(uniq)  # >= 0: len(uniq) <= B and U caps at B
+        uniq_ids = np.concatenate(
+            [uniq, np.broadcast_to(uniq[:1], (pad, uniq.shape[1]))])
+        uniq_valid = np.concatenate(
+            [query_valid[first],
+             np.broadcast_to(query_valid[first[:1]],
+                             (pad, query_valid.shape[1]))])
+        return {
+            "query_uniq_ids": np.ascontiguousarray(uniq_ids),
+            "query_uniq_valid": np.ascontiguousarray(uniq_valid),
+            "query_gather": inverse.astype(np.int32).reshape(B),
+        }
 
 
 class DataLoader:

@@ -97,6 +97,14 @@ class GPVServer:
         beam = None if beam_size is None else int(beam_size)
         if beam is not None and beam < 1:
             raise ValueError(f"beam_size must be >= 1, got {beam}")
+        if beam is not None and not hasattr(self.engine, "predict_beam"):
+            # fail at the door with the same message the HTTP layer gives a
+            # 400 — otherwise the AttributeError would surface inside
+            # _execute and fail the whole coalesced batch opaquely
+            raise ValueError(
+                "beam_size requested but this engine does not support beam "
+                "search (no predict_beam; exported bundles serve greedy "
+                "only)")
         with self._lifecycle_lock:
             # check-and-enqueue is atomic vs close(): no request can slip
             # into the queue after close() drained and cancelled leftovers

@@ -111,6 +111,20 @@ class Trainer:
                 "training.query_dedup=true requires a single host process "
                 "(per-host unique-query buckets cannot be made consistent "
                 "across a sharded loader); unset it for multi-host runs")
+        if query_dedup:
+            # the whole batch pytree is sharded on the mesh data axis
+            # (train_step in_shardings), including query_uniq_* whose
+            # leading dim U is a dedup_bucket multiple capped at B — every
+            # reachable U must divide the data axis or jit fails mid-epoch
+            # on the first batch that hits an off-size bucket
+            from ..parallel.mesh import DATA_AXIS
+            ds = int(self.mesh.shape[DATA_AXIS])
+            if Collator.DEDUP_BUCKET % ds != 0:
+                raise ValueError(
+                    f"training.query_dedup=true: dedup bucket "
+                    f"{Collator.DEDUP_BUCKET} must be divisible by the mesh "
+                    f"data axis ({ds}) — every emitted U is a bucket "
+                    f"multiple capped at the batch size")
         self.collator = Collator(
             self.vocab, self.tokenizer,
             max_text_len=int(cfg.model.max_text_len),

@@ -178,6 +178,27 @@ class TestServer:
         with pytest.raises(RuntimeError):
             server.submit(np.zeros((48, 64, 3), np.uint8), "q")
 
+    def test_beam_on_engine_without_predict_beam_rejected_at_submit(self):
+        """An exported-bundle engine has no predict_beam; submit must raise
+        a clear ValueError at the door instead of AttributeError-failing
+        the whole coalesced batch inside _execute."""
+        class _GreedyOnlyEngine:
+            def predict(self, images, queries, vocab_mask=None):
+                return [{"answer": "", "boxes": [], "relevance": []}
+                        for _ in queries]
+
+        server = GPVServer(_GreedyOnlyEngine(), batch_size=2, num_workers=1)
+        try:
+            with pytest.raises(ValueError, match="beam"):
+                server.submit(np.zeros((48, 64, 3), np.uint8), "q",
+                              beam_size=3)
+            # greedy path unaffected
+            out = server.submit(np.zeros((48, 64, 3), np.uint8),
+                                "q").result(timeout=60)
+            assert out["answer"] == ""
+        finally:
+            server.close()
+
     def test_close_drains_queued_requests(self, engine):
         """close(drain=True) serves everything already queued — no client
         blocked in future.result() is stranded."""
