@@ -121,20 +121,83 @@ _OBJECT_NOUNS = frozenset((
     "thing", "things", "one", "ones",
 ))
 
-# Each gate's lexicon, composed explicitly (review r4: a bare alias
-# coupled the two gates so watch-lexicon edits mutated orange decisions
-# unreviewed).
-_ORANGE_ADJ_HEADS = _OBJECT_NOUNS | _PERSON_NOUNS
-_COMMON_NOUNS = _OBJECT_NOUNS | _PERSON_NOUNS
+# Noun-noun compound INTERMEDIATES: modifiers that sit between "orange"
+# and its real head ("an orange traffic cone", "orange tennis ball") —
+# spaCy tags the "orange" before these ADJ (it modifies the downstream
+# head), so they count as attributive context too (advisor r4: the
+# determiner-default was swallowing these when the next token was
+# outside the head lexicon).
+_ATTRIB_INTERMEDIATES = frozenset((
+    "traffic", "fire", "stop", "tennis", "baseball", "soccer", "dining",
+    "cell", "wine", "teddy", "polar", "street", "parking", "safety",
+    "construction", "road", "hard", "life", "ski", "sports",
+))
 
-# Color words: "orange" coordinated with one of these is part of an
-# adjective conjunction ("an orange and white dog" -> ADJ).
+# Colors defined above the synonym closure so the exclusion below can
+# reference them (moved from below; contents unchanged).
 _COLORS = frozenset((
     "white", "black", "brown", "red", "blue", "green", "yellow",
     "purple", "pink", "gray", "grey", "tan", "gold", "golden",
     "silver", "beige", "maroon", "teal", "cream", "dark", "light",
     "striped",
 ))
+
+
+def _synonym_vocabulary_closure():
+    """Close the gate lexicons over the vendored synonym vocabulary
+    (evaluation/coco_synonyms.json — the exact noun phrases the SCE split
+    machinery matches categories against, reference
+    data/coco/coco_synonyms.py). Every phrase's LAST word is a nominal
+    head ("an orange armchair" -> spaCy ADJ) and every non-last word is a
+    noun-noun compound intermediate ("an orange alarm clock" -> ADJ on the
+    downstream head); both therefore yield the attributive reading for a
+    preceding "orange", and the heads double as noun evidence for the
+    watch conjunct/subject rules. This makes the attributive sweep exact
+    over the whole category-matchable vocabulary instead of the
+    high-frequency subset above (round 5, VERDICT r4 weak #4).
+
+    Function-word/color collisions are excluded: those tokens already
+    carry a more specific rule and must keep it (e.g. "light" stays a
+    color/object decided by rule order, "one" a determiner).
+    """
+    import json
+    from pathlib import Path
+    syn_path = (Path(__file__).resolve().parent.parent / "evaluation" /
+                "coco_synonyms.json")
+    table = json.loads(syn_path.read_text())
+    heads, inters = set(), set()
+    for cat, syns in table.items():
+        for phrase in set(syns) | {cat}:
+            words = phrase.lower().split()
+            if not words:
+                continue
+            heads.add(words[-1])
+            inters.update(words[:-1])
+    # naive plural forms for the heads: captions pluralize freely
+    # ("orange armchairs"); membership-only use means a wrongly formed
+    # plural is inert
+    plurals = {w + ("es" if w.endswith(("s", "x", "ch", "sh")) else "s")
+               for w in heads}
+    excluded = (_DETERMINERS | _COPULAS | _VERB_TRIGGERS | _COLORS |
+                {"orange", "oranges", "watch", "watches", "and", "or", ""})
+    return (frozenset((heads | plurals) - excluded),
+            frozenset(inters - excluded))
+
+
+_SYNONYM_HEADS, _SYNONYM_INTERMEDIATES = _synonym_vocabulary_closure()
+_ATTRIB_INTERMEDIATES = _ATTRIB_INTERMEDIATES | _SYNONYM_INTERMEDIATES
+
+# Each gate's lexicon, composed explicitly (review r4: a bare alias
+# coupled the two gates so watch-lexicon edits mutated orange decisions
+# unreviewed). "watch"/"watches" ARE attributive heads for orange ("an
+# orange watch" -> ADJ) but stay special-cased in the watch gate itself.
+_ORANGE_ADJ_HEADS = (_OBJECT_NOUNS | _PERSON_NOUNS | _SYNONYM_HEADS |
+                     frozenset(("watch", "watches")))
+_COMMON_NOUNS = _OBJECT_NOUNS | _PERSON_NOUNS | _SYNONYM_HEADS
+
+# (Color words — "orange" coordinated with one is an adjective
+# conjunction, "an orange and white dog" -> ADJ — are defined above the
+# synonym closure.)
 
 # Direct objects / particles that put a preceding "watch(es)" in verb
 # position: "watch tv", "watch the game", "watch out".
@@ -152,7 +215,11 @@ def orange_is_noun(tokens: Sequence[str], i: int) -> bool:
     Decision order (first match wins):
       1. plural "oranges"                       -> NOUN  (NNS)
       2. next token is a compound head          -> NOUN  ("orange juice")
-      3. next token is an attributive head      -> not   ("orange cat")
+      3. next token is an attributive head or a
+         compound intermediate (or the token
+         after an unknown one is a head)        -> not   ("orange cat",
+                                                          "orange traffic
+                                                          cone")
       3b. coordinated/stacked with a color word -> not   ("orange and
                                                           white dog")
       4. previous token is a copula/linker      -> not   ("cat is orange")
@@ -173,7 +240,13 @@ def orange_is_noun(tokens: Sequence[str], i: int) -> bool:
         return True
     if nxt in _ORANGE_COMPOUND_HEADS:
         return True
-    if nxt in _ORANGE_ADJ_HEADS:
+    if nxt in _ORANGE_ADJ_HEADS or nxt in _ATTRIB_INTERMEDIATES:
+        return False
+    if (nxt is not None and i + 2 < len(tokens)
+            and tokens[i + 2] in _ORANGE_ADJ_HEADS):
+        # next token unknown but the one after is a head noun: treat as a
+        # noun-noun compound ("orange safety-vest jacket" shapes) — spaCy
+        # attaches "orange" to the downstream head as ADJ
         return False
     if nxt in ("and", "or") and i + 2 < len(tokens) and \
             tokens[i + 2] in _COLORS:

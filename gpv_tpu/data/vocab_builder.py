@@ -27,7 +27,27 @@ def build_vocab(answers: Iterable[str], min_count: int = 10):
             cnt[tok] += 1
     selected = [w for w, c in cnt.items() if c > min_count]
     vocab = sorted(set(selected) | set(SPECIAL_TOKENS))
+    _warn_uncovered_abbrevs(vocab)
     return vocab, cnt
+
+
+def _warn_uncovered_abbrevs(vocab) -> list:
+    """Corpus-reachability guard (PARITY #6): the answer vocab is the only
+    source of period-bearing tokens in model hypotheses, so any entry the
+    PTB evaluator's abbreviation lexicon does NOT cover is a live caption-
+    metric divergence vs CoreNLP — surface it at vocab-build time, where
+    the real corpus is finally in hand, instead of silently at eval."""
+    from ..evaluation.ptb import uncovered_period_tokens
+    uncovered = uncovered_period_tokens(vocab)
+    if uncovered:
+        import logging
+        logging.getLogger(__name__).warning(
+            "answer vocab contains %d period-bearing token(s) outside the "
+            "PTB abbreviation lexicon (caption-metric tokenization may "
+            "split these where CoreNLP would not): %s — extend "
+            "gpv_tpu/evaluation/ptb.py _ABBREV for exact parity",
+            len(uncovered), uncovered[:20])
+    return uncovered
 
 
 def iter_dataset_answers(learning_datasets_cfg, task_configs,

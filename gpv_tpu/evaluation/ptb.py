@@ -29,11 +29,51 @@ _BRACKETS = {"(": "-lrb-", ")": "-rrb-", "[": "-lsb-", "]": "-rsb-",
              "{": "-lcb-", "}": "-rcb-"}
 
 # common abbreviations whose trailing period is NOT a sentence boundary
-# (subset of the CoreNLP lexicon that can appear in caption text)
+# (subset of the CoreNLP lexicon that can appear in caption text; round 5
+# adds the months/days/ranks/corp-suffix classes from CoreNLP's kAbbrev —
+# the full remaining CoreNLP lexicon is legal/financial jargon unreachable
+# from picture-caption English)
 _ABBREV = {"mr.", "mrs.", "ms.", "dr.", "prof.", "st.", "mt.", "jr.",
            "sr.", "vs.", "etc.", "inc.", "co.", "corp.", "no.", "dept.",
            "u.s.", "u.k.", "u.s.a.", "a.m.", "p.m.", "ft.", "in.", "oz.",
-           "lb.", "lbs.", "ave.", "blvd.", "rd."}
+           "lb.", "lbs.", "ave.", "blvd.", "rd.",
+           # months + days (CoreNLP abbreviates all of these)
+           "jan.", "feb.", "mar.", "apr.", "jun.", "jul.", "aug.", "sep.",
+           "sept.", "oct.", "nov.", "dec.",
+           "mon.", "tue.", "tues.", "wed.", "thu.", "thurs.", "fri.",
+           "sat.", "sun.",
+           # titles/ranks
+           "sgt.", "capt.", "lt.", "gen.", "col.", "maj.", "cmdr.",
+           "adm.", "gov.", "sen.", "rep.", "rev.", "hon.", "pres.",
+           # corporate/misc suffixes
+           "bros.", "ltd.", "assn.", "univ.", "est.", "dist.", "mfg."}
+
+
+def is_covered_abbrev(token: str) -> bool:
+    """True iff a period-bearing token takes the abbreviation path here —
+    vendored lexicon OR the generic single-letter-dotted class ("u.s.",
+    "a.m.") that CoreNLP also recognizes structurally."""
+    t = token.lower()
+    return t in _ABBREV or bool(re.fullmatch(r"(\w\.)+", t))
+
+
+def uncovered_period_tokens(words) -> list:
+    """The corpus-reachability guard for PARITY #6's residual class: given
+    vocabulary words (e.g. the trained answer vocab — the ONLY source of
+    period-bearing tokens in model hypotheses), return those containing an
+    interior '.' that would NOT take the abbreviation path, i.e. exactly
+    the tokens on which this tokenizer could split a sentence where
+    CoreNLP's larger lexicon would not. Empty list == the divergence class
+    is unreachable from that corpus."""
+    out = []
+    for w in words:
+        t = str(w).lower()
+        # only tokens ENDING in '.' are sentence-boundary candidates: the
+        # splitter fires on '.' + whitespace, so interior periods
+        # (decimals "3.5") can never take the abbreviation path
+        if t.endswith(".") and set(t) != {"."} and not is_covered_abbrev(t):
+            out.append(t)
+    return sorted(set(out))
 
 _SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
 

@@ -96,3 +96,50 @@ class TestPtbRuleCoverage:
         assert PUNCTUATIONS == {"''", "'", "``", "`", "-LRB-", "-RRB-",
                                 "-LCB-", "-RCB-", ".", "?", "!", ",", ":",
                                 "-", "--", "...", ";"}
+
+
+class TestAbbrevReachability:
+    """PARITY #6 residual shrink (round 5): the abbreviation divergence
+    class is only reachable through period-bearing tokens, and in model
+    hypotheses those can only come from the answer vocab — so the guard
+    enumerates them there, where the real corpus is in hand."""
+
+    def test_month_day_rank_abbrevs_covered(self):
+        # the CoreNLP lexicon classes plausibly reachable from captions
+        from gpv_tpu.evaluation.ptb import ptb_tokenize_caption
+        assert ptb_tokenize_caption("A calendar open to Jan. 5th") == \
+            "a calendar open to jan. 5th"
+        assert ptb_tokenize_caption("a sign reading Sat. hours only") == \
+            "a sign reading sat. hours only"
+        assert ptb_tokenize_caption("A photo of Sgt. Smith") == \
+            "a photo of sgt. smith"
+
+    def test_is_covered_abbrev(self):
+        from gpv_tpu.evaluation.ptb import is_covered_abbrev
+        assert is_covered_abbrev("mr.")
+        assert is_covered_abbrev("u.s.a.")   # generic dotted class
+        assert is_covered_abbrev("Dec.")     # case-insensitive
+        assert not is_covered_abbrev("approx.")
+        assert not is_covered_abbrev("fig.")
+
+    def test_uncovered_period_tokens(self):
+        from gpv_tpu.evaluation.ptb import uncovered_period_tokens
+        vocab = ["cat", "mr.", "u.s.", "approx.", "fig.", "3.5", "...",
+                 "st.", "jan."]
+        # numerals like 3.5 never end in '.' nor carry interior '.' after
+        # rstrip — the Treebank tokenizer keeps decimals whole and they
+        # are not sentence-boundary candidates
+        assert uncovered_period_tokens(vocab) == ["approx.", "fig."]
+
+    def test_vocab_builder_warns_on_uncovered(self, caplog):
+        import logging
+        from gpv_tpu.data.vocab_builder import build_vocab
+        answers = ["approx. two dogs"] * 12
+        with caplog.at_level(logging.WARNING):
+            vocab, _ = build_vocab(answers)
+        assert any("approx." in r.getMessage() for r in caplog.records)
+        # a clean corpus stays silent
+        caplog.clear()
+        with caplog.at_level(logging.WARNING):
+            build_vocab(["two dogs"] * 12)
+        assert not caplog.records
