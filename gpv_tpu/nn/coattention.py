@@ -52,6 +52,20 @@ class BiAttention(nn.Module):
         q2, k2, v2 = (qkv(f"{n}2", x2) for n in ("query", "key", "value"))
         scale = jnp.asarray(1.0 / Dh ** 0.5, self.dtype)
 
+        rate2 = self.dropout if self.dropout2_rate is None \
+            else self.dropout2_rate
+        # Fused Pallas path (opt-in, GPV_TPU_PALLAS=1): both directions in
+        # one kernel — valid when attention dropout is inactive. Measured
+        # at train shapes in BASELINE.md "r5 pallas co-attention".
+        from ..ops.attention import fused_biattention, pallas_enabled
+        if pallas_enabled() and (deterministic or
+                                 (self.dropout == 0.0 and rate2 == 0.0)):
+            ctx1, ctx2 = fused_biattention(q1, k1, v1, q2, k2, v2,
+                                           valid1, valid2)
+            D = self.dim
+            return (ctx1.reshape(*ctx1.shape[:-2], D).astype(self.dtype),
+                    ctx2.reshape(*ctx2.shape[:-2], D).astype(self.dtype))
+
         def attend(q, k, v, valid, name, rate):
             logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                                 preferred_element_type=jnp.float32)
@@ -64,8 +78,6 @@ class BiAttention(nn.Module):
                              preferred_element_type=jnp.float32)
             return out.reshape(*out.shape[:-2], self.dim).astype(self.dtype)
 
-        rate2 = self.dropout if self.dropout2_rate is None \
-            else self.dropout2_rate
         ctx1 = attend(q2, k1, v1, valid1, "drop1", self.dropout)  # (B,T2,D)
         ctx2 = attend(q1, k2, v2, valid2, "drop2", rate2)         # (B,T1,D)
         return ctx1, ctx2

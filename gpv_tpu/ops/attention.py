@@ -111,3 +111,80 @@ def attention_mask(key_valid: Optional[jnp.ndarray],
         kv = jnp.broadcast_to(kv, (B, Tq, Tk))
         mask = kv if mask is None else mask + kv
     return mask
+
+
+def _biattn_kernel(q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref,
+                   m1_ref, m2_ref, ctx1_ref, ctx2_ref):
+    """Both co-attention directions in one VMEM-resident cell.
+
+    Blocks (B,H,T,Dh layout): stream tiles (1, 1, T, Dh); masks
+    (1, T2, T1) / (1, T1, T2) additive fp32.
+    ctx1 = softmax(q2 k1^T + m1) v1   (stream2 reading stream1)
+    ctx2 = softmax(q1 k2^T + m2) v2   (stream1 reading stream2)
+    """
+    def one(q_ref, k_ref, v_ref, m_ref, out_ref):
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0]
+        dh = q.shape[-1]
+        s = jax.lax.dot_general(
+            q * (1.0 / dh ** 0.5), k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + m_ref[0]
+        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        out_ref[0, 0] = jnp.dot(p.astype(v.dtype), v,
+                                preferred_element_type=jnp.float32
+                                ).astype(out_ref.dtype)
+
+    one(q2_ref, k1_ref, v1_ref, m1_ref, ctx1_ref)
+    one(q1_ref, k2_ref, v2_ref, m2_ref, ctx2_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_biattention(q1, k1, v1, q2, k2, v2,
+                      valid1: Optional[jnp.ndarray] = None,
+                      valid2: Optional[jnp.ndarray] = None,
+                      interpret: bool = False):
+    """ViLBERT bi-attention, both directions in one Pallas pass.
+
+    Args: per-stream projections (B, T_s, H, Dh); valid_s optional (B, T_s)
+    key-validity for stream s's KEYS.
+    Returns (ctx1, ctx2): (B, T2, H, Dh) and (B, T1, H, Dh) in input dtype.
+
+    Built for the item-8 train-shapes experiment (BASELINE.md "r5 pallas
+    co-attention"): at GPV dims every tile of a (batch, head) cell — six
+    (T<=100, 48) stream tiles plus the two score matrices — fits VMEM
+    together, so one kernel removes the HBM round-trips XLA schedules
+    between the two attention directions and halves the launch count.
+    """
+    B, T1, H, Dh = q1.shape
+    T2 = q2.shape[1]
+
+    def add_mask(valid, Tq, Tk):
+        if valid is None:
+            return jnp.zeros((B, Tq, Tk), jnp.float32)
+        return jnp.broadcast_to(
+            jnp.where(valid[:, None, :], 0.0, _NEG).astype(jnp.float32),
+            (B, Tq, Tk))
+
+    m1 = add_mask(valid1, T2, T1)  # stream2 queries over stream1 keys
+    m2 = add_mask(valid2, T1, T2)
+
+    t = lambda x: jnp.transpose(x, (0, 2, 1, 3))
+    spec = lambda T: pl.BlockSpec((1, 1, T, Dh), lambda b, h: (b, h, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    mspec = lambda Tq, Tk: pl.BlockSpec((1, Tq, Tk), lambda b, h: (b, 0, 0),
+                                        memory_space=pltpu.VMEM)
+    ctx1, ctx2 = pl.pallas_call(
+        _biattn_kernel,
+        grid=(B, H),
+        in_specs=[spec(T1), spec(T1), spec(T1),
+                  spec(T2), spec(T2), spec(T2),
+                  mspec(T2, T1), mspec(T1, T2)],
+        out_specs=[spec(T2), spec(T1)],
+        out_shape=[jax.ShapeDtypeStruct((B, H, T2, Dh), q1.dtype),
+                   jax.ShapeDtypeStruct((B, H, T1, Dh), q1.dtype)],
+        interpret=interpret,
+    )(t(q1), t(k1), t(v1), t(q2), t(k2), t(v2), m1, m2)
+    return t(ctx1), t(ctx2)

@@ -60,3 +60,57 @@ class TestFusedAttention:
         got = m.apply(variables, x, x, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5)
+
+
+class TestFusedBiAttention:
+    def test_parity_with_validity(self):
+        from gpv_tpu.ops.attention import fused_biattention
+        rng = np.random.RandomState(3)
+        B, T1, T2, H, Dh = 2, 6, 9, 4, 16
+        mk = lambda T: jnp.asarray(rng.randn(B, T, H, Dh).astype(np.float32))
+        q1, k1, v1 = mk(T1), mk(T1), mk(T1)
+        q2, k2, v2 = mk(T2), mk(T2), mk(T2)
+        valid1 = jnp.asarray(np.stack([[True] * 4 + [False] * 2,
+                                       [True] * 6]))
+        valid2 = jnp.asarray(rng.rand(B, T2) > 0.2)
+
+        def ref(q, k, v, valid):
+            s = jnp.einsum("bqhd,bkhd->bhqk", q * (1.0 / Dh ** 0.5), k)
+            s = jnp.where(valid[:, None, None, :], s, -1e9)
+            return jnp.einsum("bhqk,bkhd->bqhd",
+                              jax.nn.softmax(s, axis=-1), v)
+
+        c1, c2 = fused_biattention(q1, k1, v1, q2, k2, v2, valid1, valid2,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(c1),
+                                   np.asarray(ref(q2, k1, v1, valid1)),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c2),
+                                   np.asarray(ref(q1, k2, v2, valid2)),
+                                   atol=1e-5)
+
+    def test_biattention_module_pallas_path(self, monkeypatch):
+        """BiAttention with GPV_TPU_PALLAS=1 == einsum path."""
+        monkeypatch.setenv("GPV_TPU_PALLAS", "0")
+        from gpv_tpu.nn.coattention import BiAttention
+        rng = np.random.RandomState(4)
+        x1 = jnp.asarray(rng.randn(2, 5, 32).astype(np.float32))
+        x2 = jnp.asarray(rng.randn(2, 7, 32).astype(np.float32))
+        valid1 = jnp.asarray(rng.rand(2, 5) > 0.2)
+        valid2 = jnp.asarray(rng.rand(2, 7) > 0.2)
+        m = BiAttention(dim=32, num_heads=4, dropout=0.1)
+        variables = m.init(jax.random.PRNGKey(0), x1, x2)
+        ref1, ref2 = m.apply(variables, x1, x2, valid1, valid2,
+                             deterministic=True)
+        monkeypatch.setenv("GPV_TPU_PALLAS", "1")
+        import gpv_tpu.ops.attention as A
+        real = A.fused_biattention
+        monkeypatch.setattr(
+            A, "fused_biattention",
+            lambda *a, **kw: real(*a, interpret=True, **kw))
+        got1, got2 = m.apply(variables, x1, x2, valid1, valid2,
+                             deterministic=True)
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                                   atol=1e-5)
