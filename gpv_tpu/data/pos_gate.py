@@ -201,6 +201,13 @@ _COMMON_NOUNS = _OBJECT_NOUNS | _PERSON_NOUNS | _SYNONYM_HEADS
 
 # Direct objects / particles that put a preceding "watch(es)" in verb
 # position: "watch tv", "watch the game", "watch out".
+# Function words that can never be the middle token of a noun-noun
+# compound — they block the one-token compound lookahead in
+# orange_is_noun ("is the orange a fruit" is nominal, not "orange <X>
+# fruit" compound-shaped).
+_FUNCTION_WORDS = (_DETERMINERS | _COPULAS | _VERB_TRIGGERS
+                   | frozenset(("and", "or")))
+
 _WATCH_OBJECT_CUES = frozenset((
     "tv", "television", "the", "a", "an", "this", "that", "these",
     "those", "his", "her", "their", "my", "your", "its", "our", "some",
@@ -242,11 +249,15 @@ def orange_is_noun(tokens: Sequence[str], i: int) -> bool:
         return True
     if nxt in _ORANGE_ADJ_HEADS or nxt in _ATTRIB_INTERMEDIATES:
         return False
-    if (nxt is not None and i + 2 < len(tokens)
+    if (nxt is not None and nxt not in _FUNCTION_WORDS
+            and i + 2 < len(tokens)
             and tokens[i + 2] in _ORANGE_ADJ_HEADS):
         # next token unknown but the one after is a head noun: treat as a
         # noun-noun compound ("orange safety-vest jacket" shapes) — spaCy
-        # attaches "orange" to the downstream head as ADJ
+        # attaches "orange" to the downstream head as ADJ. Function words
+        # can't be compound intermediates ("is the orange a fruit",
+        # "the orange is food", "an orange and banana on a table" are all
+        # nominal) so they never trigger the lookahead.
         return False
     if nxt in ("and", "or") and i + 2 < len(tokens) and \
             tokens[i + 2] in _COLORS:

@@ -20,6 +20,7 @@ the jitted graph per the north star.
 from __future__ import annotations
 
 import json
+import warnings
 from pathlib import Path
 from typing import Any, Dict, List
 
@@ -38,6 +39,7 @@ def load_image(path: str | Path) -> np.ndarray:
 
 
 _native_resize = None
+_warned_no_native = False
 
 
 def _get_native_resize():
@@ -53,7 +55,7 @@ def _get_native_resize():
 
 
 def resize_uint8(img: np.ndarray, h: int, w: int,
-                 use_native: bool = False, method: str = "pil") -> np.ndarray:
+                 method: str = "pil") -> np.ndarray:
     """Host resize to uint8. Methods:
 
     - "pil" (default): PIL bilinear — fast (~5 ms/img); interior divergence
@@ -62,24 +64,31 @@ def resize_uint8(img: np.ndarray, h: int, w: int,
       (PIL edge-clamps, skimage mirrors) — measured in
       tests/test_skimage_resize.py, recorded PARITY.md #7.
     - "native": C++ point-sampled bilinear (fastest; training pipeline,
-      where augmentation noise dominates).
+      where augmentation noise dominates). Falls back to "pil" with a
+      one-time warning when the in-tree kernel isn't built on this host.
     - "exact": skimage-0.17.2-exact anti-aliased path (the reference's
       eval pixels, `datasets/coco_generic_dataset.py:61`) rounded to uint8
       — residual divergence <= 1/510 per pixel; ~100-300 ms/img fp64, the
       cost the reference itself paid per image. Use for released-checkpoint
       numeric parity (cli/check_parity.py defaults to it).
     """
-    if use_native or method == "native":
+    if method not in ("pil", "native", "exact"):
+        raise ValueError(f"unknown resize method {method!r}")
+    if method == "native":
         fn = _get_native_resize()
         if fn is not None:
             return fn(img.astype(np.uint8), h, w)
+        global _warned_no_native
+        if not _warned_no_native:
+            _warned_no_native = True
+            warnings.warn("host_resize: native requested but the "
+                          "gpv_tpu/native kernel is not built on this "
+                          "host; falling back to PIL bilinear")
     elif method == "exact":
         from ..data.skimage_resize import skimage_resize_exact
         out = skimage_resize_exact(img.astype(np.uint8), (h, w),
                                    anti_aliasing=True)
         return np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
-    elif method != "pil":
-        raise ValueError(f"unknown resize method {method!r}")
     return np.asarray(
         Image.fromarray(img.astype(np.uint8)).resize((w, h),
                                                      Image.BILINEAR))

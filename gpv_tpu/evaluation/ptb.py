@@ -84,7 +84,7 @@ def _sentences(text: str) -> list[str]:
     for part in parts:
         prev = sents[-1].split()[-1].lower() if sents and sents[-1].split() \
             else None
-        if prev in _ABBREV or (prev and re.fullmatch(r"(\w\.)+", prev)):
+        if prev is not None and is_covered_abbrev(prev):
             sents[-1] += " " + part  # "u.s. flag" is one sentence
         else:
             sents.append(part)
@@ -97,10 +97,8 @@ def _protect_final_abbrev(sentence: str) -> str:
     the standalone '.' here keeps the Treebank final-period rule off the
     abbreviation ('a flag of the u.s.' -> 'u.s.' + '.')."""
     words = sentence.split()
-    if words:
-        last = words[-1].lower()
-        if last in _ABBREV or re.fullmatch(r"(\w\.)+", last):
-            return sentence + " ."
+    if words and is_covered_abbrev(words[-1]):
+        return sentence + " ."
     return sentence
 
 

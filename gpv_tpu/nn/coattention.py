@@ -55,11 +55,12 @@ class BiAttention(nn.Module):
         rate2 = self.dropout if self.dropout2_rate is None \
             else self.dropout2_rate
         # Fused Pallas path (opt-in, GPV_TPU_PALLAS=1): both directions in
-        # one kernel — valid when attention dropout is inactive. Measured
-        # at train shapes in BASELINE.md "r5 pallas co-attention".
+        # one kernel. Deterministic (inference) forward ONLY — pallas_call
+        # has no registered VJP, so the training path (even at dropout 0)
+        # must stay on the differentiable einsum formulation. Measured at
+        # train shapes in BASELINE.md "r5 pallas co-attention".
         from ..ops.attention import fused_biattention, pallas_enabled
-        if pallas_enabled() and (deterministic or
-                                 (self.dropout == 0.0 and rate2 == 0.0)):
+        if pallas_enabled() and deterministic:
             ctx1, ctx2 = fused_biattention(q1, k1, v1, q2, k2, v2,
                                            valid1, valid2)
             D = self.dim

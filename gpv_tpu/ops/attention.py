@@ -24,9 +24,13 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e9
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
-    # blocks (B,H,T,Dh layout): q (1, 1, Tq, Dh), k/v (1, 1, Tk, Dh),
-    # mask (1, Tq, Tk)
+def _attend_cell(q_ref, k_ref, v_ref, mask_ref, out_ref):
+    """One (batch, head) attention cell, shared by every kernel here.
+
+    Blocks (B,H,T,Dh layout): q (1, 1, Tq, Dh), k/v (1, 1, Tk, Dh),
+    mask (1, Tq, Tk) additive fp32. QK^T -> (+mask) -> max-subtracted
+    softmax -> PV, all VMEM-resident, fp32 accumulation on the MXU.
+    """
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0]
@@ -71,7 +75,7 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     grid = (B, H)
     out = pl.pallas_call(
-        _attn_kernel,
+        _attend_cell,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, Tq, Dh), lambda b, h: (b, h, 0, 0),
@@ -122,23 +126,8 @@ def _biattn_kernel(q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref,
     ctx1 = softmax(q2 k1^T + m1) v1   (stream2 reading stream1)
     ctx2 = softmax(q1 k2^T + m2) v2   (stream1 reading stream2)
     """
-    def one(q_ref, k_ref, v_ref, m_ref, out_ref):
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0]
-        dh = q.shape[-1]
-        s = jax.lax.dot_general(
-            q * (1.0 / dh ** 0.5), k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) + m_ref[0]
-        e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        out_ref[0, 0] = jnp.dot(p.astype(v.dtype), v,
-                                preferred_element_type=jnp.float32
-                                ).astype(out_ref.dtype)
-
-    one(q2_ref, k1_ref, v1_ref, m1_ref, ctx1_ref)
-    one(q1_ref, k2_ref, v2_ref, m2_ref, ctx2_ref)
+    _attend_cell(q2_ref, k1_ref, v1_ref, m1_ref, ctx1_ref)
+    _attend_cell(q1_ref, k2_ref, v2_ref, m2_ref, ctx2_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -161,15 +150,12 @@ def fused_biattention(q1, k1, v1, q2, k2, v2,
     B, T1, H, Dh = q1.shape
     T2 = q2.shape[1]
 
-    def add_mask(valid, Tq, Tk):
-        if valid is None:
-            return jnp.zeros((B, Tq, Tk), jnp.float32)
-        return jnp.broadcast_to(
-            jnp.where(valid[:, None, :], 0.0, _NEG).astype(jnp.float32),
-            (B, Tq, Tk))
+    def key_mask(valid, Tq, Tk):
+        m = attention_mask(valid, None, B, Tq, Tk)
+        return jnp.zeros((B, Tq, Tk), jnp.float32) if m is None else m
 
-    m1 = add_mask(valid1, T2, T1)  # stream2 queries over stream1 keys
-    m2 = add_mask(valid2, T1, T2)
+    m1 = key_mask(valid1, T2, T1)  # stream2 queries over stream1 keys
+    m2 = key_mask(valid2, T1, T2)
 
     t = lambda x: jnp.transpose(x, (0, 2, 1, 3))
     spec = lambda T: pl.BlockSpec((1, 1, T, Dh), lambda b, h: (b, h, 0, 0),

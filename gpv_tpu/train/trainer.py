@@ -111,26 +111,28 @@ class Trainer:
                 "training.query_dedup=true requires a single host process "
                 "(per-host unique-query buckets cannot be made consistent "
                 "across a sharded loader); unset it for multi-host runs")
-        if query_dedup:
-            # the whole batch pytree is sharded on the mesh data axis
-            # (train_step in_shardings), including query_uniq_* whose
-            # leading dim U is a dedup_bucket multiple capped at B — every
-            # reachable U must divide the data axis or jit fails mid-epoch
-            # on the first batch that hits an off-size bucket
-            from ..parallel.mesh import DATA_AXIS
-            ds = int(self.mesh.shape[DATA_AXIS])
-            if Collator.DEDUP_BUCKET % ds != 0:
-                raise ValueError(
-                    f"training.query_dedup=true: dedup bucket "
-                    f"{Collator.DEDUP_BUCKET} must be divisible by the mesh "
-                    f"data axis ({ds}) — every emitted U is a bucket "
-                    f"multiple capped at the batch size")
         self.collator = Collator(
             self.vocab, self.tokenizer,
             max_text_len=int(cfg.model.max_text_len),
             max_target_boxes=int(cfg.model.get("max_target_boxes", 64)),
             answering_type=str(cfg.model.answering_type),
             dedup_queries=query_dedup)
+        if query_dedup:
+            # the whole batch pytree is sharded on the mesh data axis
+            # (train_step in_shardings), including query_uniq_* whose
+            # leading dim U is a dedup_bucket multiple capped at B — every
+            # reachable U must divide the data axis or jit fails mid-epoch
+            # on the first batch that hits an off-size bucket. Validate the
+            # bucket the CONSTRUCTED collator uses, not the class default
+            # (the constructor accepts an override).
+            from ..parallel.mesh import DATA_AXIS
+            ds = int(self.mesh.shape[DATA_AXIS])
+            if self.collator.dedup_bucket % ds != 0:
+                raise ValueError(
+                    f"training.query_dedup=true: dedup bucket "
+                    f"{self.collator.dedup_bucket} must be divisible by the "
+                    f"mesh data axis ({ds}) — every emitted U is a bucket "
+                    f"multiple capped at the batch size")
         batch_size = int(cfg.training.batch_size)
         if cfg.training.get("freeze", False):
             # frozen phase trains at its own global batch (reference

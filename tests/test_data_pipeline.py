@@ -181,6 +181,13 @@ class TestSplits:
         assert not orange("an orange delivery truck")
         # compound heads still win over the intermediate scan
         assert orange("a glass of orange juice on the table")
+        # function words never act as compound intermediates (review r5:
+        # the unknown-token lookahead used to scan across them and tag
+        # these nominal oranges ADJ)
+        assert orange("is the orange a fruit")
+        assert orange("the orange is food")
+        assert orange("an orange and banana on a table")
+        assert orange("the orange and the apple")
         assert not orange("the walls are painted orange")
         assert orange("she is eating an orange")        # determiner
         assert watch("a silver watch on his wrist")

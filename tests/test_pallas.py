@@ -89,6 +89,30 @@ class TestFusedBiAttention:
                                    np.asarray(ref(q1, k2, v2, valid2)),
                                    atol=1e-5)
 
+    def test_pallas_flag_keeps_training_differentiable(self, monkeypatch):
+        """GPV_TPU_PALLAS=1 must not route the TRAINING forward
+        (deterministic=False, any dropout incl. 0) through pallas_call,
+        which has no VJP — jax.grad through BiAttention must work with
+        the flag set (review r5)."""
+        from gpv_tpu.nn.coattention import BiAttention
+        rng = np.random.RandomState(7)
+        x1 = jnp.asarray(rng.randn(2, 4, 32).astype(np.float32))
+        x2 = jnp.asarray(rng.randn(2, 6, 32).astype(np.float32))
+        m = BiAttention(dim=32, num_heads=4, dropout=0.0)
+        monkeypatch.setenv("GPV_TPU_PALLAS", "0")  # init is deterministic
+        variables = m.init(jax.random.PRNGKey(0), x1, x2)
+        monkeypatch.setenv("GPV_TPU_PALLAS", "1")
+
+        def loss(params):
+            c1, c2 = m.apply({"params": params}, x1, x2,
+                             deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.sum(c1 ** 2) + jnp.sum(c2 ** 2)
+
+        grads = jax.grad(loss)(variables["params"])
+        assert all(bool(jnp.all(jnp.isfinite(g)))
+                   for g in jax.tree.leaves(grads))
+
     def test_biattention_module_pallas_path(self, monkeypatch):
         """BiAttention with GPV_TPU_PALLAS=1 == einsum path."""
         monkeypatch.setenv("GPV_TPU_PALLAS", "0")
