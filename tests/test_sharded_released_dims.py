@@ -129,3 +129,178 @@ def test_dp4_tp2_matches_single_device(setup):
     mesh = make_mesh(data=4, model=2)
     got = _run_on_mesh(mesh, variables, batch, fwd, tp=True)
     _check(got, ref, "dp4xtp2")
+
+
+# ---------------------------------------------------------------------------
+# Sharded TRAIN STEP at released channel dims (round 5: the forward above
+# closed weak #3 for inference; the backward/optimizer path has its own
+# dims-dependent hazards — grad psums over the model axis through the
+# 16-head co-attention and 2304-d RoI concat, per-group AdamW over sharded
+# leaves, the detr-only clip norm's global reduction. Spatial is reduced to
+# 96x128 (sharding hazards live in the CHANNEL dims, which stay released);
+# fp32 so cross-mesh differences are pure re-association noise.)
+# ---------------------------------------------------------------------------
+
+TB, TH, TW = 8, 96, 128
+
+
+@pytest.fixture(scope="module")
+def train_setup():
+    from gpv_tpu.losses import TASK_IDS, LossConfig
+    from gpv_tpu.parallel import (create_train_state, make_train_step,
+                                  shard_batch)
+    from gpv_tpu.train import build_optimizer
+    from gpv_tpu.utils.config import ConfigNode
+
+    model = _released_model()
+    rng = np.random.RandomState(3)
+    tasks = [["CocoCaptioning", "CocoVqa", "CocoClassification",
+              "CocoDetection"][i % 4] for i in range(TB)]
+    M = 4
+    batch = {
+        "image": rng.randint(0, 255, (TB, TH, TW, 3)).astype(np.uint8),
+        "query_ids": rng.randint(0, 30522, (TB, 12)).astype(np.int32),
+        "query_valid": np.ones((TB, 12), bool),
+        "answer_ids": rng.randint(0, FV, (TB, 10)).astype(np.int32),
+        "answer_lens": np.full((TB,), 7, np.int32),
+        "task_id": np.asarray([TASK_IDS[t] for t in tasks], np.int32),
+        "has_answer": np.asarray([t != "CocoDetection" for t in tasks]),
+        "boxes": rng.uniform(0.3, 0.6, (TB, M, 4)).astype(np.float32),
+        "box_labels": np.zeros((TB, M), np.int32),
+        "box_valid": np.tile([True, True, True, False], (TB, 1)),
+        "has_boxes": np.asarray([t == "CocoDetection" for t in tasks]),
+    }
+    dev0 = jax.devices()[0]
+    with jax.default_device(dev0):
+        variables = model.init(jax.random.PRNGKey(5),
+                               jnp.zeros((1, TH, TW, 3), jnp.float32),
+                               jnp.zeros((1, 12), jnp.int32),
+                               jnp.zeros((1, 10), jnp.int32), train=False)
+    training_cfg = ConfigNode({
+        "num_epochs": 2, "lr": 1e-4, "lr_backbone": 1e-5,
+        "weight_decay": 1e-4, "lr_milestones": [10], "lr_drop": 0.5,
+        "lr_warmup": True, "lr_linear_decay": True,
+        "lr_warmup_fraction": 0.1, "freeze": False,
+    })
+    optimizer = build_optimizer(training_cfg, steps_per_epoch=10,
+                                params=variables["params"])
+    with jax.default_device(dev0):
+        state0 = create_train_state(variables, optimizer)
+    step_rng = jax.random.PRNGKey(9)
+
+    def make_step(mesh):
+        return make_train_step(model, optimizer, LossConfig(), 0.1,
+                               mesh=mesh, donate=False,
+                               state_template=state0)
+
+    with jax.default_device(dev0):
+        ref_state, ref_losses = make_step(None)(
+            state0, {k: jnp.asarray(v) for k, v in batch.items()}, step_rng)
+        ref_params = jax.tree.map(np.asarray, ref_state.params)
+        ref_losses = {k: float(v) for k, v in ref_losses.items()}
+
+        # Reference gradient MAGNITUDES, for the update check's SNR filter:
+        # leaves whose true gradient is structurally zero (e.g. the
+        # classifier_transform bias — softmax logits are shift-invariant,
+        # so sum_v(p-y)=0 makes its gradient pure fp cancellation noise)
+        # get a full +-lr Adam update whose SIGN depends on reduction
+        # order; comparing those updates across meshes is meaningless.
+        from gpv_tpu.losses import gpv_criterion
+        from gpv_tpu.ops.image import normalize_image
+
+        def loss_only(params):
+            out = model.apply(
+                {"params": params, "batch_stats": state0.batch_stats},
+                normalize_image(
+                    jnp.asarray(batch["image"], jnp.float32) / 255.0),
+                jnp.asarray(batch["query_ids"]),
+                jnp.asarray(batch["answer_ids"]),
+                query_valid=jnp.asarray(batch["query_valid"]), train=True,
+                rngs={"dropout": jax.random.fold_in(step_rng, 0)})
+            total, _ = gpv_criterion(
+                out, {k: jnp.asarray(v) for k, v in batch.items()},
+                LossConfig())
+            return total
+
+        grads = jax.jit(jax.grad(loss_only))(state0.params)
+        grad_mag = jax.tree.map(lambda g: float(jnp.max(jnp.abs(g))), grads)
+    return (model, state0, batch, step_rng, make_step, shard_batch,
+            ref_params, ref_losses, grad_mag)
+
+
+def _run_train_on_mesh(train_setup, mesh, tp: bool):
+    (model, state0, batch, step_rng, make_step, shard_batch,
+     ref_params, ref_losses, grad_mag) = train_setup
+    if tp:
+        shardings = make_param_shardings(mesh, state0.params)
+        n_sharded = sum(not s.is_fully_replicated
+                        for s in jax.tree.leaves(shardings))
+        assert n_sharded > 50, f"only {n_sharded} TP-shardable params"
+    state, losses = make_step(mesh)(state0, shard_batch(batch, mesh),
+                                    step_rng)
+    return jax.tree.map(np.asarray, state.params), \
+        {k: float(v) for k, v in losses.items()}
+
+
+def _check_train(got_params, got_losses, ref_params, ref_losses, state0,
+                 grad_mag, tag):
+    for k, ref in ref_losses.items():
+        got = got_losses[k]
+        print(f"[{tag}] {k}: {got:.6f} vs {ref:.6f}")
+        np.testing.assert_allclose(got, ref, rtol=2e-4,
+                                   err_msg=f"{tag}: loss {k}")
+    # updated params: compare the UPDATE (new - init) — the informative
+    # signal; raw params are dominated by the init values. Bound the
+    # worst-leaf update divergence relative to that leaf's update scale.
+    init = jax.tree.map(np.asarray, state0.params)
+    flat_got = dict(jax.tree_util.tree_flatten_with_path(got_params)[0])
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(ref_params)[0])
+    flat_init = dict(jax.tree_util.tree_flatten_with_path(init)[0])
+    flat_gm = dict(jax.tree_util.tree_flatten_with_path(grad_mag)[0])
+    gmax = max(flat_gm.values())
+    worst, n_noise = (None, 0.0), 0
+    for path, g in flat_got.items():
+        r, i = flat_ref[path], flat_init[path]
+        du = float(np.linalg.norm((g - r).ravel()))
+        scale = float(np.linalg.norm((r - i).ravel()))
+        if scale == 0.0:
+            assert du == 0.0, f"{tag}: stationary leaf moved: {path}"
+            continue
+        if flat_gm[path] < 1e-6 * gmax:
+            # structurally-zero gradient (fp cancellation noise only, e.g.
+            # the softmax-shift-invariant classifier_transform bias):
+            # Adam turns the noise SIGN into a full +-lr update, so its
+            # direction is reduction-order-dependent by construction
+            n_noise += 1
+            continue
+        # L2 over the leaf: Adam normalizes per ELEMENT, so the handful of
+        # cancellation-level gradient elements inside an otherwise healthy
+        # kernel flip their +-lr update with reduction order — an L-inf
+        # comparison measures exactly those flips; the L2 ratio measures
+        # whether the leaf's update as a whole went the same way
+        rel = du / scale
+        if rel > worst[1]:
+            worst = (path, rel)
+        assert rel < 0.25, (f"{tag}: update diverged {rel:.3f} "
+                            f"rel-L2 at {path}")
+    print(f"[{tag}] worst update divergence: {worst[1]:.4f} at {worst[0]} "
+          f"({n_noise}/{len(flat_got)} noise-floor leaves exempt)")
+    # the filter must stay an exemption, not the rule: pre-softmax /
+    # shift-invariant biases are ~5% of leaves in this architecture
+    assert n_noise < 0.1 * len(flat_got), (
+        f"{tag}: noise-floor filter swallowed {n_noise}/{len(flat_got)} "
+        f"leaves — the comparison would be vacuous")
+
+
+def test_train_step_dp8_matches_single_device(train_setup):
+    mesh = make_mesh(data=8, model=1)
+    got_params, got_losses = _run_train_on_mesh(train_setup, mesh, tp=False)
+    _check_train(got_params, got_losses, train_setup[6], train_setup[7],
+                 train_setup[1], train_setup[8], "train_dp8")
+
+
+def test_train_step_dp4_tp2_matches_single_device(train_setup):
+    mesh = make_mesh(data=4, model=2)
+    got_params, got_losses = _run_train_on_mesh(train_setup, mesh, tp=True)
+    _check_train(got_params, got_losses, train_setup[6], train_setup[7],
+                 train_setup[1], train_setup[8], "train_dp4xtp2")
