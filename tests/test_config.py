@@ -110,3 +110,18 @@ class TestBuildGpvGuards:
                            "model.detr_joiner.detr_dim=256"])
         model = build_gpv(cfg.model, vocab_size=50)
         assert model.detr_cfg["last_layer_only"] is False
+
+    def test_host_resize_flows_to_per_task_nodes(self):
+        """`task_configs.host_resize=exact` must reach the PER-TASK config
+        nodes the datasets are constructed from (GenericCocoDataset reads
+        cfg.get('host_resize') off its own node, not the root — review r5:
+        the yaml lacked the interpolation, making the documented knob
+        inoperative through the config path)."""
+        cfg = load_config("configs", "exp/gpv",
+                          ["task_configs.host_resize=exact"])
+        for t in ("coco_captioning", "coco_detection", "coco_vqa",
+                  "coco_classification"):
+            assert cfg.task_configs[t].get("host_resize") == "exact", t
+        # default is the fast production path
+        cfg = load_config("configs", "exp/gpv")
+        assert cfg.task_configs.coco_vqa.get("host_resize") == "pil"
