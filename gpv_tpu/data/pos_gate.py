@@ -199,8 +199,6 @@ _COMMON_NOUNS = _OBJECT_NOUNS | _PERSON_NOUNS | _SYNONYM_HEADS
 # conjunction, "an orange and white dog" -> ADJ — are defined above the
 # synonym closure.)
 
-# Direct objects / particles that put a preceding "watch(es)" in verb
-# position: "watch tv", "watch the game", "watch out".
 # Function words that can never be the middle token of a noun-noun
 # compound — they block the one-token compound lookahead in
 # orange_is_noun ("is the orange a fruit" is nominal, not "orange <X>
@@ -208,6 +206,8 @@ _COMMON_NOUNS = _OBJECT_NOUNS | _PERSON_NOUNS | _SYNONYM_HEADS
 _FUNCTION_WORDS = (_DETERMINERS | _COPULAS | _VERB_TRIGGERS
                    | frozenset(("and", "or")))
 
+# Direct objects / particles that put a preceding "watch(es)" in verb
+# position: "watch tv", "watch the game", "watch out".
 _WATCH_OBJECT_CUES = frozenset((
     "tv", "television", "the", "a", "an", "this", "that", "these",
     "those", "his", "her", "their", "my", "your", "its", "our", "some",

@@ -56,11 +56,13 @@ class MultiHeadAttention(nn.Module):
                deterministic: bool = True):
         """qh: (B,Tq,H,Dh), kh/vh: (B,Tk,H,Dh) -> (B,Tq,D)."""
         B, Tq = qh.shape[:2]
-        # Fused Pallas kernel path (opt-in via GPV_TPU_PALLAS=1): valid when
-        # attention dropout is inactive (inference / dropout=0).
+        # Fused Pallas kernel path (opt-in via GPV_TPU_PALLAS=1).
+        # Deterministic (inference) forward ONLY — pallas_call has no
+        # registered VJP, so the training path (even at dropout 0) must
+        # stay on the differentiable einsum formulation below.
         from ..ops.attention import (attention_mask, fused_attention,
                                      pallas_enabled)
-        if pallas_enabled() and (deterministic or self.dropout == 0.0):
+        if pallas_enabled() and deterministic:
             Tk = kh.shape[1]
             mask = attention_mask(key_valid, attn_mask, B, Tq, Tk)
             out = fused_attention(qh, kh, vh, mask)

@@ -28,8 +28,10 @@ def _attend_cell(q_ref, k_ref, v_ref, mask_ref, out_ref):
     """One (batch, head) attention cell, shared by every kernel here.
 
     Blocks (B,H,T,Dh layout): q (1, 1, Tq, Dh), k/v (1, 1, Tk, Dh),
-    mask (1, Tq, Tk) additive fp32. QK^T -> (+mask) -> max-subtracted
-    softmax -> PV, all VMEM-resident, fp32 accumulation on the MXU.
+    mask (1, Tq, Tk) additive fp32 or None (maskless variant — no zero
+    tensor is streamed through HBM/VMEM for the unmasked case). QK^T ->
+    (+mask) -> max-subtracted softmax -> PV, all VMEM-resident, fp32
+    accumulation on the MXU.
     """
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
@@ -39,7 +41,8 @@ def _attend_cell(q_ref, k_ref, v_ref, mask_ref, out_ref):
         q * (1.0 / dh ** 0.5), k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (Tq, Tk)
-    scores = scores + mask_ref[0]
+    if mask_ref is not None:
+        scores = scores + mask_ref[0]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -63,9 +66,8 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     B, Tq, H, Dh = q.shape
     Tk = k.shape[1]
-    if mask is None:
-        mask = jnp.zeros((B, Tq, Tk), jnp.float32)
-    else:
+    has_mask = mask is not None
+    if has_mask:
         mask = jnp.broadcast_to(mask.astype(jnp.float32), (B, Tq, Tk))
 
     # (B, H, T, Dh) layout keeps the (T, Dh) tile in the minor dims
@@ -73,25 +75,27 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
 
-    grid = (B, H)
+    spec = lambda T: pl.BlockSpec((1, 1, T, Dh), lambda b, h: (b, h, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    in_specs = [spec(Tq), spec(Tk), spec(Tk)]
+    operands = [qt, kt, vt]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, Tq, Tk), lambda b, h: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(mask)
+        kernel = _attend_cell
+    else:
+        kernel = lambda q_ref, k_ref, v_ref, out_ref: \
+            _attend_cell(q_ref, k_ref, v_ref, None, out_ref)
+
     out = pl.pallas_call(
-        _attend_cell,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, Tq, Dh), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tk, Dh), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Tk, Dh), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tq, Tk), lambda b, h: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, Tq, Dh), lambda b, h: (b, h, 0, 0),
-                               memory_space=pltpu.VMEM),
+        kernel,
+        grid=(B, H),
+        in_specs=in_specs,
+        out_specs=spec(Tq),
         out_shape=jax.ShapeDtypeStruct((B, H, Tq, Dh), q.dtype),
         interpret=interpret,
-    )(qt, kt, vt, mask)
+    )(*operands)
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
@@ -117,17 +121,26 @@ def attention_mask(key_valid: Optional[jnp.ndarray],
     return mask
 
 
-def _biattn_kernel(q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref,
-                   m1_ref, m2_ref, ctx1_ref, ctx2_ref):
+def _make_biattn_kernel(has_m1: bool, has_m2: bool):
     """Both co-attention directions in one VMEM-resident cell.
 
     Blocks (B,H,T,Dh layout): stream tiles (1, 1, T, Dh); masks
-    (1, T2, T1) / (1, T1, T2) additive fp32.
+    (1, T2, T1) / (1, T1, T2) additive fp32, each present only when the
+    corresponding stream has a validity mask (no zero tensors streamed
+    for the unmasked directions).
     ctx1 = softmax(q2 k1^T + m1) v1   (stream2 reading stream1)
     ctx2 = softmax(q1 k2^T + m2) v2   (stream1 reading stream2)
     """
-    _attend_cell(q2_ref, k1_ref, v1_ref, m1_ref, ctx1_ref)
-    _attend_cell(q1_ref, k2_ref, v2_ref, m2_ref, ctx2_ref)
+    def kernel(*refs):
+        q1_ref, k1_ref, v1_ref, q2_ref, k2_ref, v2_ref = refs[:6]
+        i = 6
+        m1_ref = refs[i] if has_m1 else None
+        i += int(has_m1)
+        m2_ref = refs[i] if has_m2 else None
+        ctx1_ref, ctx2_ref = refs[-2:]
+        _attend_cell(q2_ref, k1_ref, v1_ref, m1_ref, ctx1_ref)
+        _attend_cell(q1_ref, k2_ref, v2_ref, m2_ref, ctx2_ref)
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -150,27 +163,27 @@ def fused_biattention(q1, k1, v1, q2, k2, v2,
     B, T1, H, Dh = q1.shape
     T2 = q2.shape[1]
 
-    def key_mask(valid, Tq, Tk):
-        m = attention_mask(valid, None, B, Tq, Tk)
-        return jnp.zeros((B, Tq, Tk), jnp.float32) if m is None else m
-
-    m1 = key_mask(valid1, T2, T1)  # stream2 queries over stream1 keys
-    m2 = key_mask(valid2, T1, T2)
-
     t = lambda x: jnp.transpose(x, (0, 2, 1, 3))
     spec = lambda T: pl.BlockSpec((1, 1, T, Dh), lambda b, h: (b, h, 0, 0),
                                   memory_space=pltpu.VMEM)
     mspec = lambda Tq, Tk: pl.BlockSpec((1, Tq, Tk), lambda b, h: (b, 0, 0),
                                         memory_space=pltpu.VMEM)
+    in_specs = [spec(T1), spec(T1), spec(T1), spec(T2), spec(T2), spec(T2)]
+    operands = [t(q1), t(k1), t(v1), t(q2), t(k2), t(v2)]
+    if valid1 is not None:  # stream2 queries over stream1 keys
+        in_specs.append(mspec(T2, T1))
+        operands.append(attention_mask(valid1, None, B, T2, T1))
+    if valid2 is not None:
+        in_specs.append(mspec(T1, T2))
+        operands.append(attention_mask(valid2, None, B, T1, T2))
+
     ctx1, ctx2 = pl.pallas_call(
-        _biattn_kernel,
+        _make_biattn_kernel(valid1 is not None, valid2 is not None),
         grid=(B, H),
-        in_specs=[spec(T1), spec(T1), spec(T1),
-                  spec(T2), spec(T2), spec(T2),
-                  mspec(T2, T1), mspec(T1, T2)],
+        in_specs=in_specs,
         out_specs=[spec(T2), spec(T1)],
         out_shape=[jax.ShapeDtypeStruct((B, H, T2, Dh), q1.dtype),
                    jax.ShapeDtypeStruct((B, H, T1, Dh), q1.dtype)],
         interpret=interpret,
-    )(t(q1), t(k1), t(v1), t(q2), t(k2), t(v2), m1, m2)
+    )(*operands)
     return t(ctx1), t(ctx2)

@@ -89,6 +89,46 @@ class TestFusedBiAttention:
                                    np.asarray(ref(q1, k2, v2, valid2)),
                                    atol=1e-5)
 
+        # maskless + one-sided variants (review r5: no zero masks are
+        # streamed when a stream has no validity — each combo is its own
+        # kernel signature, so each needs its own parity pin)
+        full1 = jnp.ones((B, T1), bool)
+        full2 = jnp.ones((B, T2), bool)
+        for va, vb in ((None, None), (valid1, None), (None, valid2)):
+            c1, c2 = fused_biattention(q1, k1, v1, q2, k2, v2, va, vb,
+                                       interpret=True)
+            ea = va if va is not None else full1
+            eb = vb if vb is not None else full2
+            np.testing.assert_allclose(np.asarray(c1),
+                                       np.asarray(ref(q2, k1, v1, ea)),
+                                       atol=1e-5, err_msg=f"{va is None}")
+            np.testing.assert_allclose(np.asarray(c2),
+                                       np.asarray(ref(q1, k2, v2, eb)),
+                                       atol=1e-5, err_msg=f"{vb is None}")
+
+    def test_mha_pallas_flag_keeps_training_differentiable(self,
+                                                           monkeypatch):
+        """Same invariant for MultiHeadAttention (review r5 second pass:
+        the DETR/text-decoder attention had the identical dropout==0 hole
+        BiAttention was fixed for)."""
+        from gpv_tpu.nn.layers import MultiHeadAttention
+        rng = np.random.RandomState(8)
+        x = jnp.asarray(rng.randn(2, 6, 32).astype(np.float32))
+        m = MultiHeadAttention(32, 4, dropout=0.0)
+        monkeypatch.setenv("GPV_TPU_PALLAS", "0")
+        variables = m.init(jax.random.PRNGKey(0), x, x, x)
+        monkeypatch.setenv("GPV_TPU_PALLAS", "1")
+
+        def loss(params):
+            out = m.apply({"params": params}, x, x, x,
+                          deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.sum(out ** 2)
+
+        grads = jax.grad(loss)(variables["params"])
+        assert all(bool(jnp.all(jnp.isfinite(g)))
+                   for g in jax.tree.leaves(grads))
+
     def test_pallas_flag_keeps_training_differentiable(self, monkeypatch):
         """GPV_TPU_PALLAS=1 must not route the TRAINING forward
         (deterministic=False, any dropout incl. 0) through pallas_call,
