@@ -105,6 +105,7 @@ def main(argv=None):
     do_resize = str(local.get("resize", "true")).lower() != "false"
     H = int(cfg.task_configs.image_size.H)
     W = int(cfg.task_configs.image_size.W)
+    resize_method = str(cfg.task_configs.get("host_resize", "pil"))
     batch = int(local.get("batch", 20))
     nb = int(local.get("num_output_boxes", 5))
     out_path = Path(local.get("out", "predictions.jsonl"))
@@ -119,7 +120,8 @@ def main(argv=None):
                 # executable serves every batch (iter_padded_batches /
                 # serve.py policy), then slice back
                 n_real = len(imgs)
-                resized = [resize_uint8(im, H, W) for im in imgs]
+                resized = [resize_uint8(im, H, W, method=resize_method)
+                           for im in imgs]
                 while len(resized) < batch:
                     resized.append(resized[-1])
                     qs.append(qs[-1])

@@ -23,7 +23,9 @@ def main(argv=None):
 
     img = load_image(cfg.image_path)
     img = resize_uint8(img, int(cfg.task_configs.image_size.H),
-                       int(cfg.task_configs.image_size.W))
+                       int(cfg.task_configs.image_size.W),
+                       method=str(cfg.task_configs.get("host_resize",
+                                                       "pil")))
     beam_size = int(cfg.get("beam_size", 5))
     # reference_quirks: print the same strings the reference CLI would
     # (incl. its beam-tail quirk, PARITY.md)
