@@ -39,6 +39,32 @@ class TestDatasets:
         if len(valid_boxes):
             assert (valid_boxes >= 0).all() and (valid_boxes <= 1).all()
 
+    def test_host_resize_exact_reaches_dataset_pixels(self, data_dir,
+                                                      tmp_path):
+        """`task_configs.host_resize=exact` must change the PIXELS a
+        dataset emits to the skimage-0.17.2-exact path (round 5: the knob
+        flows through the per-task config nodes into resize_uint8)."""
+        from gpv_tpu.data.skimage_resize import skimage_resize_exact
+        from gpv_tpu.datasets.coco import (CocoVqa, coco_image_path,
+                                           load_image)
+        cfg = tiny_cfg(data_dir, tmp_path,
+                       extra=("task_configs.host_resize=exact",))
+        ds = CocoVqa(cfg.task_configs.coco_vqa, "val", training=False)
+        assert ds.resize_method == "exact"
+        img, _ = ds._read(ds.samples[0])
+        raw = load_image(coco_image_path(
+            ds.cfg.image_dir, ds.samples[0]["image"]["subset"],
+            ds.samples[0]["image"]["image_id"]))
+        want = np.clip(np.rint(skimage_resize_exact(
+            raw, (ds.imh, ds.imw)) * 255.0), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(img, want)
+        # and that it actually differs from the production PIL pixels
+        ds_pil = CocoVqa(tiny_cfg(data_dir, tmp_path).task_configs.coco_vqa,
+                         "val", training=False)
+        assert ds_pil.resize_method == "pil"
+        pil_img, _ = ds_pil._read(ds_pil.samples[0])
+        assert pil_img.shape == img.shape
+
     def test_vqa_answer_resampling_deterministic_rng(self, data_dir,
                                                      tmp_path):
         cfg = tiny_cfg(data_dir, tmp_path)
